@@ -1,0 +1,172 @@
+"""Elementwise modular arithmetic on residue tensors (jnp, TPU-friendly).
+
+TPU-native equivalent of the reference's modular-op functor stratum
+(reference: include/nfl/ops.hpp:100-242, include/nfl/opt/ops.hpp:7-78).
+Where the reference specializes each op per (scalar type x SIMD engine), here
+each op is a jnp function over arrays of any shape; XLA fuses chains of these
+into single passes over memory (the expression-template contract of
+reference core.hpp:25-37 holds for free under jit).
+
+Conventions:
+  * Residues live in their limb dtype (uint16/uint32/uint64) and are < p
+    unless an op documents a lazy [0, 2p) contract.
+  * Per-channel constants (p, pn, ...) broadcast against the data; the Poly
+    layer passes them shaped [nmoduli, 1].
+  * All arithmetic relies on the defined wrap-around of jnp unsigned dtypes,
+    mirroring the reference's value_type arithmetic.
+  * uint64 support requires jax_enable_x64 (enabled by nfllib_tpu.__init__).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+_U16, _U32, _U64 = jnp.uint16, jnp.uint32, jnp.uint64
+
+_WIDER = {jnp.dtype(jnp.uint16): jnp.uint32, jnp.dtype(jnp.uint32): jnp.uint64}
+_REPR_BITS = {jnp.dtype(jnp.uint16): 16, jnp.dtype(jnp.uint32): 32,
+              jnp.dtype(jnp.uint64): 64}
+
+
+def repr_bits(dtype) -> int:
+    return _REPR_BITS[jnp.dtype(dtype)]
+
+
+# ---------------------------------------------------------------------------
+# double-word helpers
+# ---------------------------------------------------------------------------
+
+def mulhi(x, y):
+    """High word of the full product, per limb dtype."""
+    dt = jnp.dtype(x.dtype)
+    if dt in _WIDER:
+        w = _WIDER[dt]
+        return ((x.astype(w) * y.astype(w)) >> repr_bits(dt)).astype(dt)
+    return _mulhi_u64(x, y)
+
+
+def _mulhi_u64(x, y):
+    """High 64 bits of a 64x64 product from 32-bit halves (no 128-bit type)."""
+    m32 = _U64(0xFFFFFFFF)
+    xl, xh = x & m32, x >> 32
+    yl, yh = y & m32, y >> 32
+    ll = xl * yl
+    lh = xl * yh
+    hl = xh * yl
+    hh = xh * yh
+    mid = (ll >> 32) + (lh & m32) + (hl & m32)
+    return hh + (lh >> 32) + (hl >> 32) + (mid >> 32)
+
+
+def mul128(x, y):
+    """Full 64x64 -> (hi, lo) product."""
+    return _mulhi_u64(x, y), x * y
+
+
+# ---------------------------------------------------------------------------
+# core ops (reference ops.hpp semantics)
+# ---------------------------------------------------------------------------
+
+def addmod(x, y, p):
+    """x + y mod p, assuming x, y < p (reference ops.hpp:124-135)."""
+    z = x + y
+    return z - jnp.where(z >= p, p, jnp.zeros_like(p)).astype(z.dtype)
+
+
+def submod(x, y, p):
+    """x - y mod p, assuming x, y < p (reference ops.hpp:141-151)."""
+    return addmod(x, (p - y).astype(x.dtype), p)
+
+
+def eqmod(x, y):
+    return x == y
+
+
+def neqmod(x, y):
+    return x != y
+
+
+def mulmod(x, y, p, pn=None):
+    """x * y mod p (generic path, reference ops.hpp:183-219).
+
+    u16/u32: exact product in the wider dtype, then %.
+    u64: Newton-quotient reduction with the precomputed Pn low word
+    (reference ops.hpp:201-219), since no 128-bit dtype exists on device.
+    """
+    dt = jnp.dtype(x.dtype)
+    if dt in _WIDER:
+        w = _WIDER[dt]
+        return ((x.astype(w) * y.astype(w)) % p.astype(w)).astype(dt)
+    assert pn is not None, "mulmod on uint64 requires the Newton quotient pn"
+    hi, lo = mul128(x, y)
+    # q = Pn * (res >> 64) + (res << 2), keep only q >> 64
+    s_hi = (hi << 2) | (lo >> 62)
+    s_lo = lo << 2
+    q_lo = pn * hi + s_lo
+    carry = jnp.where(q_lo < s_lo, _U64(1), _U64(0))
+    q_hi = _mulhi_u64(pn, hi) + s_hi + carry
+    r = lo - q_hi * p
+    return r - jnp.where(r >= p, p, _U64(0))
+
+
+def compute_shoup(y, p):
+    """floor(y * 2^w / p) for Shoup multiplication (reference ops.hpp:165-177).
+
+    Input is reduced mod p first, mirroring the reference's while-loop.
+    """
+    dt = jnp.dtype(y.dtype)
+    if dt in _WIDER:
+        w = _WIDER[dt]
+        yr = (y.astype(w) % p.astype(w))
+        return ((yr << repr_bits(dt)) // p.astype(w)).astype(dt)
+    # uint64: restoring division computing floor((y mod p) << 64 / p).
+    y = y % p
+    def step(_, qr):
+        q, r = qr
+        r2 = r << 1                       # r < p < 2^62 so no overflow
+        ge = r2 >= p
+        return (q << 1) | ge.astype(_U64), r2 - jnp.where(ge, p, _U64(0))
+    q, _ = lax.fori_loop(0, 64, step, (jnp.zeros_like(y), y))
+    return q
+
+
+def mulmod_shoup(x, y, yprime, p):
+    """x * y mod p with precomputed yprime = floor(y 2^w / p).
+
+    Reference ops.hpp:225-242: q = hi(x * yprime); r = x*y - q*p in wrapping
+    word arithmetic; one conditional subtract.  Exact for x, y < p when p has
+    two spare bits in the limb (14/30/62-bit moduli do).
+    """
+    q = mulhi(x, yprime)
+    r = x * y - q * p
+    return r - jnp.where(r >= p, p, jnp.zeros_like(p)).astype(r.dtype)
+
+
+def mulmod_shoup_lazy(x, y, yprime, p):
+    """Same as mulmod_shoup without the final correction: result in [0, 2p)."""
+    q = mulhi(x, yprime)
+    return x * y - q * p
+
+
+def muladd(rop, x, y, p, pn=None):
+    """rop + x*y mod p (reference opt/ops.hpp:7-48)."""
+    dt = jnp.dtype(x.dtype)
+    if dt in _WIDER:
+        w = _WIDER[dt]
+        res = (x.astype(w) * y.astype(w) + rop.astype(w)) % p.astype(w)
+        return res.astype(dt)
+    r = mulmod(x, y, p, pn)
+    r = r + rop
+    return r - jnp.where(r >= p, p, _U64(0))
+
+
+def muladd_shoup(rop, x, y, yprime, p):
+    """rop + x*y mod p via Shoup (reference opt/ops.hpp:54-78)."""
+    q = mulhi(x, yprime)
+    r = rop + (x * y - q * p)
+    return r - jnp.where(r >= p, p, jnp.zeros_like(p)).astype(r.dtype)
+
+
+def reduce_once(x, p):
+    """One conditional subtract: maps [0, 2p) -> [0, p)."""
+    return x - jnp.where(x >= p, p, jnp.zeros_like(p)).astype(x.dtype)

@@ -1,0 +1,326 @@
+"""Poly — the polynomial value type (reference include/nfl/poly.hpp).
+
+A Poly is an immutable pytree holding a residue tensor of shape
+[..., nmoduli, degree] in the ring's limb dtype plus a static `Ring`.  Leading
+axes are free batch dimensions (the TPU-native replacement for the reference's
+arrays-of-poly).  JAX's immutable arrays give the value semantics that the
+reference's poly_p copy-on-write wrapper (poly_p.hpp:10-204) exists to
+approximate — poly and poly_p collapse into this one type (PolyP is an alias).
+
+Operator sugar mirrors the reference's expression-template surface
+(poly.hpp:346-352): `a * b` returns a lazy `MulExpr` so that
+`shoup(a * b, bprec)` can rewrite to a single fused mulmod_shoup pass — the
+one pattern rewrite the reference implements (ops.hpp:267-277).  Everything
+else evaluates eagerly into jnp ops, which XLA fuses under jit (the
+single-pass contract of reference core.hpp:25-37).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import modops
+from .ops import ntt as ntt_mod
+from .ring import Ring
+from . import debug
+from .prng.sampling import (  # re-exported mode tags
+    ZO_dist,
+    gaussian,
+    hwt_dist,
+    non_uniform,
+    sample,
+    uniform,
+)
+
+__all__ = [
+    "Poly",
+    "PolyP",
+    "MulExpr",
+    "shoup",
+    "compute_shoup",
+    "uniform",
+    "non_uniform",
+    "ZO_dist",
+    "hwt_dist",
+    "gaussian",
+]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Poly:
+    data: Any              # [..., nmoduli, degree] array, limb dtype
+    ring: Ring             # static
+
+    # --- pytree protocol ---------------------------------------------------
+    def tree_flatten(self):
+        return (self.data,), self.ring
+
+    @classmethod
+    def tree_unflatten(cls, ring, children):
+        return cls(children[0], ring)
+
+    # --- constructors -------------------------------------------------------
+    @classmethod
+    def zeros(cls, ring: Ring, batch=()):
+        return cls(jnp.zeros(tuple(batch) + ring.shape, dtype=ring.dtype), ring)
+
+    @classmethod
+    def from_coeffs(cls, ring: Ring, values, reduce_coeffs: bool = True):
+        """set(It, It) semantics (reference core.hpp:103-136): either up to
+        `degree` coefficients broadcast to every channel (zero padded), or the
+        full nmoduli*degree array."""
+        vals = [int(v) for v in np.asarray(values).reshape(-1)]
+        n, m = ring.degree, ring.nmoduli
+        if len(vals) > n and len(vals) != n * m:
+            raise ValueError(
+                "initializer of size above degree but not equal to "
+                "nmoduli*degree")
+        data = np.zeros((m, n), dtype=ring.dtype)
+        mask = (1 << ring.repr_bits) - 1
+        if len(vals) == n * m:
+            for cm in range(m):
+                p = int(ring.moduli[cm])
+                row = vals[cm * n:(cm + 1) * n]
+                data[cm] = [(v % p if reduce_coeffs else v) & mask for v in row]
+        else:
+            for cm in range(m):
+                p = int(ring.moduli[cm])
+                data[cm][: len(vals)] = [
+                    (v % p if reduce_coeffs else v) & mask for v in vals]
+        return cls(jnp.asarray(data), ring)
+
+    @classmethod
+    def constant(cls, ring: Ring, v: int, reduce_coeffs: bool = True):
+        if v == 0:
+            return cls.zeros(ring)
+        return cls.from_coeffs(ring, [v], reduce_coeffs)
+
+    @classmethod
+    def sample(cls, ring: Ring, mode, stream):
+        """Draw a random polynomial (reference poly(mode) constructors)."""
+        return cls(jnp.asarray(sample(ring, mode, stream)), ring)
+
+    # --- basic introspection -------------------------------------------------
+    @property
+    def batch_shape(self):
+        return tuple(self.data.shape[:-2])
+
+    @property
+    def nmoduli(self):
+        return self.ring.nmoduli
+
+    @property
+    def degree(self):
+        return self.ring.degree
+
+    def get_modulus(self, cm: int) -> int:
+        return int(self.ring.moduli[cm])
+
+    def __bool__(self):
+        # reference operator bool: any nonzero coefficient (core.hpp:39-43)
+        return bool(jnp.any(self.data != 0))
+
+    def __repr__(self):
+        return (f"Poly(ring={self.ring.limb}/n={self.ring.degree}"
+                f"/m={self.ring.nmoduli}, batch={self.batch_shape})")
+
+    # --- helpers -------------------------------------------------------------
+    def _ctx(self):
+        return self.ring.context()
+
+    def _consts(self):
+        ctx = self._ctx()
+        return jnp.asarray(ctx.p_col), jnp.asarray(ctx.pn_col)
+
+    def _check_same_ring(self, other: "Poly"):
+        if self.ring != other.ring:
+            raise ValueError(f"ring mismatch: {self.ring} vs {other.ring}")
+
+    def _wrap(self, data):
+        return Poly(data, self.ring)
+
+    # --- arithmetic (reference poly.hpp:346-352 operator set) ----------------
+    def __add__(self, other):
+        other = _as_poly(other)
+        self._check_same_ring(other)
+        p, _ = self._consts()
+        debug.check_residues(self.data, p)
+        debug.check_residues(other.data, p)
+        return self._wrap(modops.addmod(self.data, other.data, p))
+
+    def __sub__(self, other):
+        other = _as_poly(other)
+        self._check_same_ring(other)
+        p, _ = self._consts()
+        debug.check_residues(self.data, p)
+        debug.check_residues(other.data, p)
+        return self._wrap(modops.submod(self.data, other.data, p))
+
+    def __mul__(self, other):
+        # lazy, so that shoup(a * b, prec) can fuse (ops.hpp:267-277)
+        return MulExpr(self, _as_poly(other))
+
+    def __radd__(self, other):
+        return _as_poly(other).__add__(self)
+
+    def __rsub__(self, other):
+        return _as_poly(other).__sub__(self)
+
+    def __rmul__(self, other):
+        return MulExpr(_as_poly(other), self)
+
+    def __eq__(self, other):
+        if isinstance(other, MulExpr):
+            other = other.poly()
+        if not isinstance(other, Poly) or other.ring != self.ring:
+            return NotImplemented
+        return bool(jnp.all(self.data == other.data))
+
+    def __ne__(self, other):
+        eq = self.__eq__(other)
+        return NotImplemented if eq is NotImplemented else not eq
+
+    __hash__ = None
+
+    def eqmod(self, other):
+        """Elementwise equality mask (reference ops eqmod)."""
+        return self.data == _as_poly(other).data
+
+    def mulmod(self, other):
+        """Eager pointwise modular multiplication."""
+        other = _as_poly(other)
+        self._check_same_ring(other)
+        p, pn = self._consts()
+        debug.check_residues(self.data, p)
+        debug.check_residues(other.data, p)
+        return self._wrap(modops.mulmod(self.data, other.data, p, pn))
+
+    def mulmod_shoup(self, other, other_prec):
+        other = _as_poly(other)
+        p, _ = self._consts()
+        debug.check_residues(self.data, p)
+        debug.check_residues(other.data, p)
+        return self._wrap(modops.mulmod_shoup(
+            self.data, other.data, other_prec.data, p))
+
+    def muladd(self, x, y):
+        """self + x*y mod p, fused (reference opt/ops.hpp muladd)."""
+        p, pn = self._consts()
+        return self._wrap(modops.muladd(self.data, x.data, y.data, p, pn))
+
+    def muladd_shoup(self, x, y, yprec):
+        p, _ = self._consts()
+        return self._wrap(modops.muladd_shoup(
+            self.data, x.data, y.data, yprec.data, p))
+
+    def compute_shoup(self):
+        """Precompute Shoup companions (reference ops.hpp:165-177)."""
+        p, _ = self._consts()
+        return self._wrap(modops.compute_shoup(self.data, p))
+
+    # --- NTT (reference poly.hpp:167-168) -------------------------------------
+    def ntt_pow_phi(self):
+        p, _ = self._consts()
+        debug.check_residues(self.data, p)
+        return self._wrap(ntt_mod.ntt_pow_phi(self.data, self._ctx()))
+
+    def invntt_pow_invphi(self):
+        return self._wrap(ntt_mod.invntt_pow_invphi(self.data, self._ctx()))
+
+    # --- serialization / CRT bridges ------------------------------------------
+    def serialize_manually(self) -> bytes:
+        from .serialize import serialize_poly
+        return serialize_poly(self)
+
+    def poly2mpz(self):
+        from .crt import poly2mpz
+        return poly2mpz(self)
+
+
+# poly_p parity alias: JAX immutability already provides cheap value semantics
+# (the COW wrapper of reference poly_p.hpp:10-204 has nothing left to do).
+PolyP = Poly
+
+
+class MulExpr:
+    """Deferred pointwise product, the one-node expression-template analog.
+
+    Evaluates to a Poly on demand; `shoup(a * b, prec)` intercepts it to emit
+    a single mulmod_shoup (the reference's only op-tree rewrite,
+    ops.hpp:267-277), and `expr + c` emits a fused muladd.
+    """
+
+    def __init__(self, a: Poly, b: Poly):
+        a._check_same_ring(b)
+        self.a = a
+        self.b = b
+        self._val = None
+
+    def poly(self) -> Poly:
+        if self._val is None:
+            self._val = self.a.mulmod(self.b)
+        return self._val
+
+    @property
+    def data(self):
+        return self.poly().data
+
+    @property
+    def ring(self):
+        return self.a.ring
+
+    def __add__(self, other):
+        if isinstance(other, MulExpr):
+            other = other.poly()
+        return other.muladd(self.a, self.b)
+
+    def __radd__(self, other):
+        return self.__add__(other)
+
+    def __sub__(self, other):
+        return self.poly() - other
+
+    def __rsub__(self, other):
+        return _as_poly(other) - self.poly()
+
+    def __mul__(self, other):
+        return MulExpr(self.poly(), _as_poly(other))
+
+    def __eq__(self, other):
+        return self.poly() == other
+
+    def __bool__(self):
+        return bool(self.poly())
+
+    def ntt_pow_phi(self):
+        return self.poly().ntt_pow_phi()
+
+    def invntt_pow_invphi(self):
+        return self.poly().invntt_pow_invphi()
+
+
+def _as_poly(x) -> Poly:
+    if isinstance(x, Poly):
+        return x
+    if isinstance(x, MulExpr):
+        return x.poly()
+    raise TypeError(f"expected Poly, got {type(x)!r}")
+
+
+def shoup(expr, prec: Poly) -> Poly:
+    """nfl::shoup(a * b, bprec) -> fused mulmod_shoup (ops.hpp:267-277).
+
+    Only the product pattern is defined (using shoup on anything else is a
+    static error in the reference, ops.hpp:153-163)."""
+    if isinstance(expr, MulExpr):
+        return expr.a.mulmod_shoup(expr.b, prec)
+    raise TypeError("shoup() expects a deferred product a * b")
+
+
+def compute_shoup(x) -> Poly:
+    return _as_poly(x).compute_shoup()

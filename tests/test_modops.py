@@ -1,0 +1,139 @@
+"""Differential tests of jnp modular ops vs the python-int oracle
+(mirrors reference tests/test_binary_op.h + nfl_add/sub/mul.cpp)."""
+import numpy as np
+import pytest
+
+import nfllib_tpu as nfl
+from nfllib_tpu import oracle
+from nfllib_tpu.ops import modops
+
+from conftest import CONFIG_MATRIX, make_ring, rand_residues
+
+import jax.numpy as jnp
+
+
+def _oracle_map(fn, *arrs, ring):
+    out = np.empty_like(arrs[0])
+    m, n = ring.nmoduli, ring.degree
+    flat = [a.reshape(-1, m, n) for a in arrs]
+    of = out.reshape(-1, m, n)
+    for b in range(flat[0].shape[0]):
+        for cm in range(m):
+            p = int(ring.moduli[cm])
+            for i in range(n):
+                of[b, cm, i] = fn(*[int(a[b, cm, i]) for a in flat], p)
+    return out
+
+
+@pytest.mark.parametrize("degree,agg,limb", CONFIG_MATRIX)
+def test_addmod_submod(degree, agg, limb, rng):
+    ring = make_ring(min(degree, 64), agg, limb)  # cap n; op is elementwise
+    a = rand_residues(ring, rng)
+    b = rand_residues(ring, rng)
+    p = jnp.asarray(ring.context().p_col)
+    got = np.asarray(modops.addmod(jnp.asarray(a), jnp.asarray(b), p))
+    want = _oracle_map(oracle.addmod, a, b, ring=ring)
+    np.testing.assert_array_equal(got, want)
+    got = np.asarray(modops.submod(jnp.asarray(a), jnp.asarray(b), p))
+    want = _oracle_map(oracle.submod, a, b, ring=ring)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("degree,agg,limb", CONFIG_MATRIX)
+def test_mulmod(degree, agg, limb, rng):
+    ring = make_ring(min(degree, 64), agg, limb)
+    ctx = ring.context()
+    a = rand_residues(ring, rng)
+    b = rand_residues(ring, rng)
+    p = jnp.asarray(ctx.p_col)
+    pn = jnp.asarray(ctx.pn_col)
+    got = np.asarray(modops.mulmod(jnp.asarray(a), jnp.asarray(b), p, pn))
+    want = _oracle_map(oracle.mulmod, a, b, ring=ring)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("degree,agg,limb", CONFIG_MATRIX)
+def test_compute_shoup_and_mulmod_shoup(degree, agg, limb, rng):
+    ring = make_ring(min(degree, 64), agg, limb)
+    ctx = ring.context()
+    w = ring.repr_bits
+    a = rand_residues(ring, rng)
+    b = rand_residues(ring, rng)
+    p = jnp.asarray(ctx.p_col)
+    bprec = np.asarray(modops.compute_shoup(jnp.asarray(b), p))
+    want_prec = _oracle_map(
+        lambda y, pm: oracle.compute_shoup(y, pm, w), b, ring=ring)
+    np.testing.assert_array_equal(bprec, want_prec)
+
+    got = np.asarray(modops.mulmod_shoup(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(bprec), p))
+    want = _oracle_map(
+        lambda x, y, pm: oracle.mulmod_shoup(
+            x, y, oracle.compute_shoup(y, pm, w), pm, w), a, b, ring=ring)
+    np.testing.assert_array_equal(got, want)
+    # Shoup result equals plain mulmod for canonical inputs
+    want_plain = _oracle_map(oracle.mulmod, a, b, ring=ring)
+    np.testing.assert_array_equal(got, want_plain)
+
+
+@pytest.mark.parametrize("degree,agg,limb", CONFIG_MATRIX)
+def test_muladd(degree, agg, limb, rng):
+    ring = make_ring(min(degree, 64), agg, limb)
+    ctx = ring.context()
+    w = ring.repr_bits
+    r = rand_residues(ring, rng)
+    a = rand_residues(ring, rng)
+    b = rand_residues(ring, rng)
+    p = jnp.asarray(ctx.p_col)
+    pn = jnp.asarray(ctx.pn_col)
+    got = np.asarray(modops.muladd(
+        jnp.asarray(r), jnp.asarray(a), jnp.asarray(b), p, pn))
+    want = _oracle_map(oracle.muladd, r, a, b, ring=ring)
+    np.testing.assert_array_equal(got, want)
+
+    bprec = modops.compute_shoup(jnp.asarray(b), p)
+    got = np.asarray(modops.muladd_shoup(
+        jnp.asarray(r), jnp.asarray(a), jnp.asarray(b), bprec, p))
+    want = _oracle_map(
+        lambda rr, x, y, pm: oracle.muladd_shoup(
+            rr, x, y, oracle.compute_shoup(y, pm, w), pm, w),
+        r, a, b, ring=ring)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_poly_operator_sugar(rng):
+    ring = nfl.ring_from_modulus("u32", 64, 60)
+    a = nfl.Poly(jnp.asarray(rand_residues(ring, rng)), ring)
+    b = nfl.Poly(jnp.asarray(rand_residues(ring, rng)), ring)
+    c = nfl.Poly(jnp.asarray(rand_residues(ring, rng)), ring)
+
+    assert (a + b) - b == a
+    # deferred product + shoup rewrite path
+    bprec = nfl.compute_shoup(b)
+    assert nfl.shoup(a * b, bprec) == a.mulmod(b)
+    # fused muladd path: c + a*b
+    assert (a * b) + c == c.muladd(a, b)
+    assert c + (a * b) == c.muladd(a, b)
+    # batched broadcasting
+    batch = nfl.Poly(jnp.asarray(rand_residues(ring, rng, batch=(3,))), ring)
+    got = (batch + a).data
+    for i in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(got[i]),
+            np.asarray((nfl.Poly(batch.data[i], ring) + a).data))
+
+
+def test_from_coeffs_set_semantics():
+    # reference core.hpp:103-136: broadcast-or-full, zero padding, reduction
+    ring = nfl.ring_from_modulus("u16", 8, 28)
+    p = nfl.Poly.from_coeffs(ring, [1, 2, 3])
+    arr = np.asarray(p.data)
+    assert list(arr[0]) == [1, 2, 3, 0, 0, 0, 0, 0]
+    assert list(arr[1]) == [1, 2, 3, 0, 0, 0, 0, 0]
+    big = int(ring.moduli[0]) + 5
+    q = nfl.Poly.from_coeffs(ring, [big], reduce_coeffs=True)
+    assert int(np.asarray(q.data)[0, 0]) == 5
+    assert int(np.asarray(q.data)[1, 0]) == big % int(ring.moduli[1])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        nfl.Poly.from_coeffs(ring, list(range(9)))  # > degree, != m*n
