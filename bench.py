@@ -1,0 +1,91 @@
+"""Benchmark — RNS-NTT throughput per chip (the BASELINE.json north star).
+
+Measures per-modulus negacyclic forward NTTs per second at n = 2^14 with an
+8x62-bit-equivalent RNS basis.  TPU-native design point: 30-bit moduli in
+uint32 lanes (SURVEY.md §7 "hard parts" — 17 x 30-bit >= 496 bits of modulus
+mass, the CRT-for-TPU equivalent of the reference's 8 x 62-bit u64 config at
+tests/CMakeLists.txt:7).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 1e6 (the >= 1M NTT/s per-chip target).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import nfllib_tpu as nfl
+    from nfllib_tpu.ops import ntt as ntt_mod
+
+    n = 1 << 14
+    m = 17            # 17 x 30-bit = 510 bits >= 8 x 62 = 496 bits
+    batch = 8
+    chain = 65        # NTT applications per dispatch: the chained-vs-single
+                      # time delta must dwarf the tunnel's 30-100 ms RTT jitter
+
+    ring = nfl.Ring("u32", n, m)
+    ctx = ring.context()
+
+    rng = np.random.default_rng(42)
+    x = np.empty((batch, m, n), dtype=np.uint32)
+    for cm in range(m):
+        x[:, cm, :] = rng.integers(0, int(ring.moduli[cm]), size=(batch, n),
+                                   dtype=np.uint32)
+
+    def step(v):
+        # forward negacyclic NTT, chained: output is canonical (< p) so it is
+        # a valid input for the next application
+        for _ in range(chain):
+            v = ntt_mod.ntt_pow_phi(v, ctx)
+        return v
+
+    # Device-compute isolation: time a K-chain and a 1-chain call (each
+    # synced by a host readback — block_until_ready and async dispatch are
+    # both unreliable over the device tunnel) and difference them, so tunnel
+    # RTT cancels.  min-of-reps suppresses RTT jitter.
+    xd = jnp.asarray(x)
+
+    def timed(K, reps=8):
+        def stepK(v):
+            for _ in range(K):
+                v = ntt_mod.ntt_pow_phi(v, ctx)
+            return v
+        f = jax.jit(stepK)
+        _ = np.asarray(f(xd)[0, 0, 0:1])  # compile + first run
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = f(xd)
+            _ = np.asarray(out[0, 0, 0:1])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(1)
+    tk = timed(chain)
+    per_app = (tk - t1) / (chain - 1)   # seconds per NTT application
+    dt = tk
+    per_call = per_app
+
+    ntts = batch * m
+    rate = ntts / per_app
+    print(f"[bench] {ntts} channel-NTTs (n={n}, m={m}) per call, median "
+          f"{per_call*1e3:.3f} ms, total {dt:.3f}s "
+          f"on {jax.devices()[0].device_kind}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "rns_ntt_n2pow14_per_sec_per_chip",
+        "value": round(rate, 1),
+        "unit": "ntt/s",
+        "vs_baseline": round(rate / 1e6, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

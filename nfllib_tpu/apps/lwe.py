@@ -1,0 +1,122 @@
+"""LWE-like symmetric encryption — the end-to-end acceptance workload.
+
+Reproduces the reference demo's scheme exactly (reference
+tests/nfllib_demo_main_op.cpp:26-58,260-331):
+
+  keygen:  s ~ gaussian, NTT'd; sprime = compute_shoup(s)
+           pka ~ uniform (already NTT domain); pkb ~ 2*gaussian, NTT'd;
+           pkb += shoup(pka * s, sprime)
+  encrypt: u ~ gaussian, e1,e2 ~ 2*gaussian, each NTT'd;
+           resa = u*pka + e1 ; resb = u*pkb + e2        (fused chains)
+  decrypt: tmp = resb - resa*s ; inverse NTT;
+           bit = coeff % 2 if coeff < p0/2 else 1 - coeff % 2
+
+Sampling runs on the host stream (deterministic given key/nonce); the compute
+graph (NTT, fused mulmod/muladd chains) is pure jnp and jit-compiled — sums of
+decryptions of encryptions of zero must be exactly zero.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import modops, ntt
+from ..poly import Poly, compute_shoup, shoup
+from ..prng.gaussian import FastGaussianNoise
+from ..prng.salsa20 import Salsa20Stream
+from ..prng.sampling import gaussian, uniform
+from ..ring import Ring
+
+SIGMA = 4.0  # demo parameters (nfllib_demo_main_op.cpp:8-9)
+
+
+@dataclasses.dataclass
+class LweKeys:
+    s: Poly        # secret key, NTT domain
+    sprime: Poly   # Shoup companion
+    pka: Poly      # public key part a, NTT domain
+    pkb: Poly      # public key part b, NTT domain
+
+
+def make_gaussian_prng(security: int = 128, samples: int = 1 << 10,
+                       sigma: float = SIGMA) -> FastGaussianNoise:
+    return FastGaussianNoise(sigma, security, samples)
+
+
+def keygen(ring: Ring, stream: Salsa20Stream,
+           g_prng: FastGaussianNoise) -> LweKeys:
+    s = Poly.sample(ring, gaussian(g_prng), stream).ntt_pow_phi()
+    sprime = compute_shoup(s)
+    pka = Poly.sample(ring, uniform(), stream)
+    pkb = Poly.sample(ring, gaussian(g_prng, 2), stream).ntt_pow_phi()
+    pkb = pkb + shoup(pka * s, sprime)
+    return LweKeys(s=s, sprime=sprime, pka=pka, pkb=pkb)
+
+
+def _encrypt_graph(ctx, pka, pkb, u, e1, e2):
+    """Pure compute graph on residue tensors; u/e1/e2 are coefficient-domain
+    noise, outputs are the NTT-domain ciphertext halves."""
+    p_col = jnp.asarray(ctx.p_col)
+    pn_col = jnp.asarray(ctx.pn_col)
+    un = ntt.ntt_pow_phi(u, ctx)
+    e1n = ntt.ntt_pow_phi(e1, ctx)
+    e2n = ntt.ntt_pow_phi(e2, ctx)
+    resa = modops.muladd(e1n, un, pka, p_col, pn_col)
+    resb = modops.muladd(e2n, un, pkb, p_col, pn_col)
+    return resa, resb
+
+
+def _decrypt_graph(ctx, resa, resb, s):
+    p_col = jnp.asarray(ctx.p_col)
+    pn_col = jnp.asarray(ctx.pn_col)
+    tmp = modops.submod(resb, modops.mulmod(resa, s, p_col, pn_col), p_col)
+    tmp = ntt.invntt_pow_invphi(tmp, ctx)
+    p0 = jnp.asarray(ctx.p[0])
+    half = p0 // jnp.asarray(2, dtype=p0.dtype)
+    bit = tmp % jnp.asarray(2, dtype=tmp.dtype)
+    return jnp.where(tmp < half, bit,
+                     jnp.asarray(1, dtype=tmp.dtype) - bit)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_graphs(ring: Ring):
+    ctx = ring.context()
+    enc = jax.jit(functools.partial(_encrypt_graph, ctx))
+    dec = jax.jit(functools.partial(_decrypt_graph, ctx))
+    return enc, dec
+
+
+def encrypt(keys: LweKeys, ring: Ring, stream: Salsa20Stream,
+            g_prng: FastGaussianNoise):
+    """One encryption of zero (reference encrypt(), demo_main_op.cpp:26-45)."""
+    u = Poly.sample(ring, gaussian(g_prng), stream)
+    e1 = Poly.sample(ring, gaussian(g_prng, 2), stream)
+    e2 = Poly.sample(ring, gaussian(g_prng, 2), stream)
+    enc, _ = _jitted_graphs(ring)
+    resa, resb = enc(keys.pka.data, keys.pkb.data, u.data, e1.data, e2.data)
+    return Poly(resa, ring), Poly(resb, ring)
+
+
+def decrypt(keys: LweKeys, ring: Ring, resa: Poly, resb: Poly):
+    """Decrypt to a per-(channel,coefficient) bit tensor (reference
+    decrypt(), demo_main_op.cpp:48-58)."""
+    _, dec = _jitted_graphs(ring)
+    return dec(resa.data, resb.data, keys.s.data)
+
+
+def run_zero_sum_check(ring: Ring, repetitions: int = 10,
+                       key: bytes = None) -> bool:
+    """The reference's correctness gate (demo_main_op.cpp:313-331): the sum of
+    decryptions of encryptions of zero must be exactly zero."""
+    stream = (Salsa20Stream(key) if key is not None
+              else Salsa20Stream.from_system_entropy())
+    g_prng = make_gaussian_prng()
+    keys = keygen(ring, stream, g_prng)
+    total = jnp.zeros(ring.shape, dtype=jnp.int64)
+    for _ in range(repetitions):
+        resa, resb = encrypt(keys, ring, stream, g_prng)
+        total = total + decrypt(keys, ring, resa, resb).astype(jnp.int64)
+    return bool(jnp.all(total == 0))

@@ -37,12 +37,36 @@ def repr_bits(dtype) -> int:
 # ---------------------------------------------------------------------------
 
 def mulhi(x, y):
-    """High word of the full product, per limb dtype."""
+    """High word of the full product, per limb dtype.
+
+    u16 widens to u32 (native TPU lanes); u32 uses a 16-bit-split formulation
+    entirely in uint32 lanes (TPUs have no native 64-bit integers — XLA
+    emulates them, so staying in 32-bit ops is the fast path); u64 splits into
+    32-bit halves.
+    """
     dt = jnp.dtype(x.dtype)
-    if dt in _WIDER:
-        w = _WIDER[dt]
-        return ((x.astype(w) * y.astype(w)) >> repr_bits(dt)).astype(dt)
+    if dt == jnp.dtype(jnp.uint16):
+        return ((x.astype(_U32) * y.astype(_U32)) >> 16).astype(_U16)
+    if dt == jnp.dtype(jnp.uint32):
+        return _mulhi_u32(x, y)
     return _mulhi_u64(x, y)
+
+
+def _mulhi_u32(x, y):
+    """High 32 bits of a 32x32 product from 16-bit halves (uint32 lanes only).
+
+    Every intermediate fits in uint32: products of 16-bit halves are < 2^32,
+    and mid = (ll>>16) + (lh&m) + (hl&m) < 3*2^16 < 2^32.
+    """
+    m16 = _U32(0xFFFF)
+    xl, xh = x & m16, x >> 16
+    yl, yh = y & m16, y >> 16
+    ll = xl * yl
+    lh = xl * yh
+    hl = xh * yl
+    hh = xh * yh
+    mid = (ll >> 16) + (lh & m16) + (hl & m16)
+    return hh + (lh >> 16) + (hl >> 16) + (mid >> 16)
 
 
 def _mulhi_u64(x, y):

@@ -1,0 +1,348 @@
+"""Distributed four-step negacyclic NTT over a device mesh.
+
+The reference scales only by SIMD width; its two inherent parallel axes — the
+independent residue-channel (`cm`) loops and SIMD lanes inside a butterfly
+(reference core.hpp:597,610, SURVEY.md section 2 note) — become mesh axes
+here, and large-degree transforms gain a third: the degree axis, split
+four-step style (the structural analog of sequence parallelism):
+
+  n = n1 * n2, data viewed as X[i1, i2] (i = i2 + n2*i1), sharded over columns
+  i2 on mesh axis `deg`:
+    1. pre-twist by phi^i                        (local, elementwise)
+    2. size-n1 DFTs down each column, root w^n2  (local: column-sharded)
+    3. twiddle by w^(k1*i2)                      (local, elementwise)
+    4. all-to-all transpose                      (ICI; the only comm)
+    5. size-n2 DFTs along each row, root w^n1    (local: row-sharded)
+  out[k1, k2] = E[k1 + n1*k2] where E[k] = A(phi^(2k+1)) in natural order.
+
+The single-chip Harvey path (ops/ntt.py) and this path agree exactly:
+harvey_out[j] = E[bitrev_n(j)] (verified in tests).  Pointwise products and
+the inverse transform consume the four-step layout directly, so no global
+reordering is ever needed in a distributed pipeline.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ring import Ring, _powers_mod, _shoup_arr, _harvey_blocked
+from ..utils import bitrev_indices, static_log2
+from ..ops import modops
+from ..ops.ntt import _ntt_core
+
+
+# ---------------------------------------------------------------------------
+# table construction
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class FourStepPlan:
+    ring: Ring
+    n1: int
+    n2: int
+
+
+def _sub_tables(p: int, w_root: int, size: int, wbits: int, obj: bool):
+    """Blocked Harvey twiddles (+shoup) for a size-`size` DFT with root w."""
+    pows = _powers_mod(w_root, size, p, obj=obj)
+    blocked = _harvey_blocked(pows, size)
+    return blocked, _shoup_arr(blocked, p, wbits, obj)
+
+
+class FourStepContext:
+    """Per-(ring, n1, n2) constants for the four-step transform."""
+
+    def __init__(self, plan: FourStepPlan):
+        ring = plan.ring
+        self.plan = plan
+        n1, n2 = plan.n1, plan.n2
+        n, m = ring.degree, ring.nmoduli
+        assert n1 * n2 == n
+        dt = ring.dtype
+        wbits = ring.repr_bits
+        obj = ring.limb == "u64"
+        ctx = ring.context()
+
+        self.p_col = ctx.p_col
+        shape1 = (m, max(n1 - 1, 1))
+        shape2 = (m, max(n2 - 1, 1))
+        self.col_w = np.empty(shape1, dtype=dt)       # size-n1 tables
+        self.col_ws = np.empty(shape1, dtype=dt)
+        self.col_iw = np.empty(shape1, dtype=dt)
+        self.col_iws = np.empty(shape1, dtype=dt)
+        self.row_w = np.empty(shape2, dtype=dt)       # size-n2 tables
+        self.row_ws = np.empty(shape2, dtype=dt)
+        self.row_iw = np.empty(shape2, dtype=dt)
+        self.row_iws = np.empty(shape2, dtype=dt)
+        self.twiddle = np.empty((m, n1, n2), dtype=dt)    # w^(k1*i2)
+        self.twiddle_s = np.empty((m, n1, n2), dtype=dt)
+        self.itwiddle = np.empty((m, n1, n2), dtype=dt)   # w^(-k1*i2)
+        self.itwiddle_s = np.empty((m, n1, n2), dtype=dt)
+
+        for cm in range(m):
+            p = int(ring.moduli[cm])
+            w = ctx.omega_int[cm]
+            iw = pow(w, -1, p)
+            w1, iw1 = pow(w, n2, p), pow(iw, n2, p)
+            w2, iw2 = pow(w, n1, p), pow(iw, n1, p)
+            self.col_w[cm], self.col_ws[cm] = [a.astype(dt) for a in
+                                               _sub_tables(p, w1, n1, wbits, obj)]
+            self.col_iw[cm], self.col_iws[cm] = [a.astype(dt) for a in
+                                                 _sub_tables(p, iw1, n1, wbits, obj)]
+            self.row_w[cm], self.row_ws[cm] = [a.astype(dt) for a in
+                                               _sub_tables(p, w2, n2, wbits, obj)]
+            self.row_iw[cm], self.row_iws[cm] = [a.astype(dt) for a in
+                                                 _sub_tables(p, iw2, n2, wbits, obj)]
+            k1pows = _powers_mod(w, n1, p, obj=obj)       # w^k1
+            for k1 in range(n1):
+                row = _powers_mod(int(k1pows[k1]), n2, p, obj=obj)
+                self.twiddle[cm, k1] = row.astype(dt)
+                self.twiddle_s[cm, k1] = _shoup_arr(row, p, wbits, obj).astype(dt)
+                irow = _powers_mod(pow(int(k1pows[k1]), -1, p), n2, p, obj=obj)
+                self.itwiddle[cm, k1] = irow.astype(dt)
+                self.itwiddle_s[cm, k1] = _shoup_arr(irow, p, wbits, obj).astype(dt)
+
+        # phi pre-twist and inverse un-twist reshaped to [m, n1, n2]
+        self.phis = ctx.phis.reshape(m, n1, n2)
+        self.shoupphis = ctx.shoupphis.reshape(m, n1, n2)
+        self.ivp = ctx.invpoly_times_invphis.reshape(m, n1, n2)
+        self.ivp_s = ctx.shoupinvpoly_times_invphis.reshape(m, n1, n2)
+
+        self.rev1 = bitrev_indices(n1)
+        self.rev2 = bitrev_indices(n2)
+
+    def _stage_slices(self, blocked, size):
+        out = []
+        off = 0
+        k = size
+        while k >= 2:
+            out.append(blocked[:, off:off + k // 2])
+            off += k // 2
+            k //= 2
+        return out
+
+
+@functools.lru_cache(maxsize=None)
+def get_four_step_context(ring: Ring, n1: int, n2: int) -> FourStepContext:
+    return FourStepContext(FourStepPlan(ring, n1, n2))
+
+
+# ---------------------------------------------------------------------------
+# local building blocks (run inside shard_map per device)
+# ---------------------------------------------------------------------------
+
+def _dft_lastaxis(x, blocked, blocked_s, size, p_col, rev):
+    """Forward size-`size` DFT along the last axis of [..., m, B, size],
+    natural output order (Harvey core + bitrev gather)."""
+    if size == 1:
+        return x
+    ctx_tabs = []
+    off = 0
+    k = size
+    while k >= 2:
+        ctx_tabs.append((off, k // 2))
+        off += k // 2
+        k //= 2
+    wt = [blocked[:, o:o + l] for o, l in ctx_tabs]
+    ws = [blocked_s[:, o:o + l] for o, l in ctx_tabs]
+    two_p = (p_col * 2).astype(x.dtype)
+    # _ntt_core wants [..., m, n]: fold the B axis into batch by moving m next
+    # to the transform axis.  x: [..., m, B, size] -> [..., B, m, size]
+    xt = jnp.swapaxes(x, -3, -2)
+    out = _ntt_core(xt, wt, ws, jnp.asarray(p_col), jnp.asarray(two_p))
+    out = modops.reduce_once(out, jnp.asarray(p_col))
+    out = jnp.take(out, jnp.asarray(rev), axis=-1)
+    return jnp.swapaxes(out, -3, -2)
+
+
+# ---------------------------------------------------------------------------
+# distributed transforms
+# ---------------------------------------------------------------------------
+
+def four_step_ntt_local(x, fctx: FourStepContext, col_slice=None,
+                        row_slice=None, axis_name=None):
+    """Forward four-step pass.  x: [m, n1, n2_local] (column shard when
+    axis_name is set, else the full [m, n1, n2]).  Returns [m, n1_local, n2]
+    row shard (or full array single-device)."""
+    ring = fctx.plan.ring
+    n1, n2 = fctx.plan.n1, fctx.plan.n2
+    p_col = jnp.asarray(fctx.p_col)
+    p3 = p_col[..., None]                      # [m,1,1]
+
+    cols = slice(None) if col_slice is None else col_slice
+    # 1. pre-twist by phi^i (column shard of the [m, n1, n2] table)
+    x = modops.mulmod_shoup(x, jnp.asarray(fctx.phis[:, :, cols]),
+                            jnp.asarray(fctx.shoupphis[:, :, cols]), p3)
+    # 2. size-n1 DFT down columns: transform axis is n1 (axis -2)
+    xt = jnp.swapaxes(x, -1, -2)               # [m, n2l, n1]
+    xt = _dft_lastaxis(xt, jnp.asarray(fctx.col_w), jnp.asarray(fctx.col_ws),
+                       n1, fctx.p_col, fctx.rev1)
+    x = jnp.swapaxes(xt, -1, -2)               # [m, n1, n2l], rows k1 natural
+    # 3. twiddle w^(k1*i2)
+    x = modops.mulmod_shoup(x, jnp.asarray(fctx.twiddle[:, :, cols]),
+                            jnp.asarray(fctx.twiddle_s[:, :, cols]), p3)
+    # 4. all-to-all transpose: columns shard -> rows shard
+    if axis_name is not None:
+        x = jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2,
+                               tiled=True)     # [m, n1/D, n2]
+    # 5. size-n2 DFT along rows
+    x = _dft_lastaxis(x, jnp.asarray(fctx.row_w), jnp.asarray(fctx.row_ws),
+                      n2, fctx.p_col, fctx.rev2)
+    return x
+
+
+def four_step_intt_local(x, fctx: FourStepContext, row_slice=None,
+                         axis_name=None):
+    """Inverse of four_step_ntt_local.  x: [m, n1_local, n2] row shard ->
+    [m, n1, n2_local] column shard of the coefficient tensor."""
+    n1, n2 = fctx.plan.n1, fctx.plan.n2
+    p_col = jnp.asarray(fctx.p_col)
+    p3 = p_col[..., None]
+
+    rows = slice(None) if row_slice is None else row_slice
+    # inverse of step 5: unscaled inverse DFT along rows
+    x = _dft_lastaxis(x, jnp.asarray(fctx.row_iw), jnp.asarray(fctx.row_iws),
+                      n2, fctx.p_col, fctx.rev2)
+    # inverse twiddle (row shard of the [m, n1, n2] table)
+    x = modops.mulmod_shoup(x, jnp.asarray(fctx.itwiddle[:, rows, :]),
+                            jnp.asarray(fctx.itwiddle_s[:, rows, :]), p3)
+    # transpose back: rows shard -> columns shard
+    if axis_name is not None:
+        x = jax.lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1,
+                               tiled=True)     # [m, n1, n2/D]
+    # inverse of step 2: inverse DFT down columns
+    xt = jnp.swapaxes(x, -1, -2)
+    xt = _dft_lastaxis(xt, jnp.asarray(fctx.col_iw), jnp.asarray(fctx.col_iws),
+                       n1, fctx.p_col, fctx.rev1)
+    x = jnp.swapaxes(xt, -1, -2)
+    # un-twist by n^-1 * phi^-i (column shard; includes both 1/n1 and 1/n2)
+    cols = slice(None) if axis_name is None else None
+    return x, cols  # caller applies the column-sharded un-twist
+
+
+def _untwist(x, fctx: FourStepContext, col_slice, p3):
+    cols = slice(None) if col_slice is None else col_slice
+    return modops.mulmod_shoup(x, jnp.asarray(fctx.ivp[:, :, cols]),
+                               jnp.asarray(fctx.ivp_s[:, :, cols]), p3)
+
+
+# ---------------------------------------------------------------------------
+# mesh-level API
+# ---------------------------------------------------------------------------
+
+def _col_slice_for(fctx, axis_name):
+    idx = jax.lax.axis_index(axis_name)
+    return idx
+
+
+def distributed_ntt_pow_phi(x, ring: Ring, mesh: Mesh, *, n1=None,
+                            deg_axis: str = "deg"):
+    """Forward negacyclic transform of [..., m, n] sharded over `deg_axis`.
+
+    Returns the four-step layout [..., m, n1, n2] with rows (k1) sharded.
+    E[k1 + n1*k2] = out[..., k1, k2]; the single-chip Harvey ordering is
+    harvey[j] = E[bitrev_n(j)].
+    """
+    n = ring.degree
+    d = mesh.shape[deg_axis]
+    if n1 is None:
+        n1 = 1 << (static_log2(n) // 2)
+    n2 = n // n1
+    assert n1 % d == 0 and n2 % d == 0, "factor sizes must split evenly"
+    fctx = get_four_step_context(ring, n1, n2)
+
+    def local(xb):
+        # xb: [..., m, n1, n2/D] column shard
+        i = jax.lax.axis_index(deg_axis)
+        cols = jax.lax.dynamic_slice_in_dim(
+            jnp.arange(n2), i * (n2 // d), n2 // d)
+        # gather per-device column slices of the static tables
+        f = _ShardView(fctx, cols=cols)
+        return four_step_ntt_local(xb, f, col_slice=None, axis_name=deg_axis)
+
+    xr = x.reshape(x.shape[:-1] + (n1, n2))
+    spec = P(*([None] * (xr.ndim - 1) + [deg_axis]))
+    out_spec = P(*([None] * (xr.ndim - 2) + [deg_axis, None]))
+    fn = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=out_spec,
+                   check_rep=False)
+    return fn(xr)
+
+
+class _ShardView:
+    """View of a FourStepContext with device-local column/row table slices
+    gathered by traced index (used inside shard_map)."""
+
+    def __init__(self, fctx: FourStepContext, cols=None, rows=None):
+        self.plan = fctx.plan
+        self.p_col = fctx.p_col
+        self.col_w, self.col_ws = fctx.col_w, fctx.col_ws
+        self.col_iw, self.col_iws = fctx.col_iw, fctx.col_iws
+        self.row_w, self.row_ws = fctx.row_w, fctx.row_ws
+        self.row_iw, self.row_iws = fctx.row_iw, fctx.row_iws
+        self.rev1, self.rev2 = fctx.rev1, fctx.rev2
+        take = lambda t, idx, ax: jnp.take(jnp.asarray(t), idx, axis=ax)
+        if cols is not None:
+            self.phis = take(fctx.phis, cols, 2)
+            self.shoupphis = take(fctx.shoupphis, cols, 2)
+            self.twiddle = take(fctx.twiddle, cols, 2)
+            self.twiddle_s = take(fctx.twiddle_s, cols, 2)
+            self.ivp = take(fctx.ivp, cols, 2)
+            self.ivp_s = take(fctx.ivp_s, cols, 2)
+        if rows is not None:
+            self.itwiddle = take(fctx.itwiddle, rows, 1)
+            self.itwiddle_s = take(fctx.itwiddle_s, rows, 1)
+
+
+def distributed_invntt_pow_invphi(y, ring: Ring, mesh: Mesh, *, n1=None,
+                                  deg_axis: str = "deg"):
+    """Inverse of distributed_ntt_pow_phi: [..., m, n1(sharded), n2] four-step
+    layout -> coefficient tensor [..., m, n] sharded over the degree axis."""
+    n = ring.degree
+    d = mesh.shape[deg_axis]
+    if n1 is None:
+        n1 = 1 << (static_log2(n) // 2)
+    n2 = n // n1
+    fctx = get_four_step_context(ring, n1, n2)
+    p3 = jnp.asarray(fctx.p_col)[..., None]
+
+    def local(yb):
+        i = jax.lax.axis_index(deg_axis)
+        rows = jax.lax.dynamic_slice_in_dim(
+            jnp.arange(n1), i * (n1 // d), n1 // d)
+        cols = jax.lax.dynamic_slice_in_dim(
+            jnp.arange(n2), i * (n2 // d), n2 // d)
+        f = _ShardView(fctx, cols=cols, rows=rows)
+        xb, _ = four_step_intt_local(yb, f, row_slice=None,
+                                     axis_name=deg_axis)
+        return _untwist(xb, f, None, p3)
+
+    spec = P(*([None] * (y.ndim - 2) + [deg_axis, None]))
+    out_spec = P(*([None] * (y.ndim - 2) + [None, deg_axis]))
+    fn = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=out_spec,
+                   check_rep=False)
+    out = fn(y)
+    return out.reshape(out.shape[:-2] + (n,))
+
+
+def four_step_reference(x, ring: Ring, n1: int):
+    """Single-device four-step forward (no mesh) — for differential tests."""
+    n2 = ring.degree // n1
+    fctx = get_four_step_context(ring, n1, n2)
+    xr = jnp.asarray(x).reshape(x.shape[:-1] + (n1, n2))
+    out = four_step_ntt_local(xr, fctx)
+    return out
+
+
+def four_step_reference_inverse(y, ring: Ring, n1: int):
+    n2 = ring.degree // n1
+    fctx = get_four_step_context(ring, n1, n2)
+    p3 = jnp.asarray(fctx.p_col)[..., None]
+    xb, _ = four_step_intt_local(y, fctx)
+    xb = _untwist(xb, fctx, None, p3)
+    return xb.reshape(y.shape[:-2] + (ring.degree,))

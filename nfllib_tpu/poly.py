@@ -49,6 +49,32 @@ __all__ = [
     "gaussian",
 ]
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted(ring: Ring, name: str):
+    """One compiled graph per (ring, op): whole op chains (e.g. the full
+    log2(n)-stage NTT) compile as a single XLA program instead of per-stage
+    eager dispatch.  jit re-specializes per batch shape automatically."""
+    ctx = ring.context()
+    import numpy as _np
+    p = jnp.asarray(ctx.p_col)
+    pn = jnp.asarray(ctx.pn_col)
+    fns = {
+        "add": lambda x, y: modops.addmod(x, y, p),
+        "sub": lambda x, y: modops.submod(x, y, p),
+        "mul": lambda x, y: modops.mulmod(x, y, p, pn),
+        "mul_shoup": lambda x, y, yp: modops.mulmod_shoup(x, y, yp, p),
+        "muladd": lambda r, x, y: modops.muladd(r, x, y, p, pn),
+        "muladd_shoup": lambda r, x, y, yp: modops.muladd_shoup(
+            r, x, y, yp, p),
+        "compute_shoup": lambda x: modops.compute_shoup(x, p),
+        "ntt_pow_phi": lambda x: ntt_mod.ntt_pow_phi(x, ctx),
+        "invntt_pow_invphi": lambda x: ntt_mod.invntt_pow_invphi(x, ctx),
+    }
+    return jax.jit(fns[name])
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
@@ -137,6 +163,12 @@ class Poly:
         ctx = self._ctx()
         return jnp.asarray(ctx.p_col), jnp.asarray(ctx.pn_col)
 
+    def _strict_check(self, *polys):
+        if debug.strictmod_enabled():
+            p = jnp.asarray(self._ctx().p_col)
+            for q in polys:
+                debug.check_residues(q.data, p)
+
     def _check_same_ring(self, other: "Poly"):
         if self.ring != other.ring:
             raise ValueError(f"ring mismatch: {self.ring} vs {other.ring}")
@@ -148,18 +180,14 @@ class Poly:
     def __add__(self, other):
         other = _as_poly(other)
         self._check_same_ring(other)
-        p, _ = self._consts()
-        debug.check_residues(self.data, p)
-        debug.check_residues(other.data, p)
-        return self._wrap(modops.addmod(self.data, other.data, p))
+        self._strict_check(self, other)
+        return self._wrap(_jitted(self.ring, "add")(self.data, other.data))
 
     def __sub__(self, other):
         other = _as_poly(other)
         self._check_same_ring(other)
-        p, _ = self._consts()
-        debug.check_residues(self.data, p)
-        debug.check_residues(other.data, p)
-        return self._wrap(modops.submod(self.data, other.data, p))
+        self._strict_check(self, other)
+        return self._wrap(_jitted(self.ring, "sub")(self.data, other.data))
 
     def __mul__(self, other):
         # lazy, so that shoup(a * b, prec) can fuse (ops.hpp:267-277)
@@ -192,45 +220,38 @@ class Poly:
         return self.data == _as_poly(other).data
 
     def mulmod(self, other):
-        """Eager pointwise modular multiplication."""
+        """Pointwise modular multiplication (single compiled pass)."""
         other = _as_poly(other)
         self._check_same_ring(other)
-        p, pn = self._consts()
-        debug.check_residues(self.data, p)
-        debug.check_residues(other.data, p)
-        return self._wrap(modops.mulmod(self.data, other.data, p, pn))
+        self._strict_check(self, other)
+        return self._wrap(_jitted(self.ring, "mul")(self.data, other.data))
 
     def mulmod_shoup(self, other, other_prec):
         other = _as_poly(other)
-        p, _ = self._consts()
-        debug.check_residues(self.data, p)
-        debug.check_residues(other.data, p)
-        return self._wrap(modops.mulmod_shoup(
-            self.data, other.data, other_prec.data, p))
+        self._strict_check(self, other)
+        return self._wrap(_jitted(self.ring, "mul_shoup")(
+            self.data, other.data, other_prec.data))
 
     def muladd(self, x, y):
         """self + x*y mod p, fused (reference opt/ops.hpp muladd)."""
-        p, pn = self._consts()
-        return self._wrap(modops.muladd(self.data, x.data, y.data, p, pn))
+        return self._wrap(_jitted(self.ring, "muladd")(
+            self.data, x.data, y.data))
 
     def muladd_shoup(self, x, y, yprec):
-        p, _ = self._consts()
-        return self._wrap(modops.muladd_shoup(
-            self.data, x.data, y.data, yprec.data, p))
+        return self._wrap(_jitted(self.ring, "muladd_shoup")(
+            self.data, x.data, y.data, yprec.data))
 
     def compute_shoup(self):
         """Precompute Shoup companions (reference ops.hpp:165-177)."""
-        p, _ = self._consts()
-        return self._wrap(modops.compute_shoup(self.data, p))
+        return self._wrap(_jitted(self.ring, "compute_shoup")(self.data))
 
     # --- NTT (reference poly.hpp:167-168) -------------------------------------
     def ntt_pow_phi(self):
-        p, _ = self._consts()
-        debug.check_residues(self.data, p)
-        return self._wrap(ntt_mod.ntt_pow_phi(self.data, self._ctx()))
+        self._strict_check(self)
+        return self._wrap(_jitted(self.ring, "ntt_pow_phi")(self.data))
 
     def invntt_pow_invphi(self):
-        return self._wrap(ntt_mod.invntt_pow_invphi(self.data, self._ctx()))
+        return self._wrap(_jitted(self.ring, "invntt_pow_invphi")(self.data))
 
     # --- serialization / CRT bridges ------------------------------------------
     def serialize_manually(self) -> bytes:

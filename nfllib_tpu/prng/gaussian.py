@@ -20,7 +20,7 @@ Re-design of the reference's CDF-inversion sampler
     on flagged entries, buffer regeneration when nearly exhausted (:478-595);
   * device sampling is the branchless reformulation: every sample consumes a
     fixed word_precision bytes and the output is
-      base_value + #\{barriers <= r\}   (big-endian r),
+      base_value + (number of barriers <= r)   (big-endian r),
     exactly the fixed point the reference's early-exit LUT walk computes.
 """
 from __future__ import annotations

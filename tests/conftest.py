@@ -7,11 +7,18 @@ running one differential test matrix across engines
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon TPU-tunnel plugin (sitecustomize) force-overrides jax_platforms to
+# "axon,cpu" via jax.config, ignoring the env var — pin it back so tests run
+# on the virtual 8-device CPU mesh and leave the real chip to benchmarks.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
