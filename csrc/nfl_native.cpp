@@ -1,0 +1,129 @@
+// nfl_native — host-side native runtime for nfllib_tpu.
+//
+// C++ replacement slot for the reference's native layer: the Salsa20 stream
+// PRNG (reference lib/prng/nfl_crypto_stream_salsa20_amd64_xmm6.s — 4,823
+// lines of qhasm-generated x86-64 assembly driven by
+// lib/prng/fastrandombytes.cpp:21-34) and the hot host-side sampling loops.
+// This is a clean-room portable implementation of the same crypto_stream
+// function (Salsa20/20, 32-byte key, 8-byte nonce, 64-bit little-endian
+// block counter starting at 0); output is byte-identical to the reference
+// stream, anchored by tools/golden/salsa20_golden.bin in tests.
+//
+// Built as a plain shared library (no Python headers); loaded via ctypes
+// (nfllib_tpu/native.py).  Exposed C ABI:
+//   nfl_salsa20_stream(out, nbytes, nonce8, key32)
+//   nfl_fastrandombytes(state, out, nbytes)   — stateful nonce-bumping
+//   nfl_uniform_u32 / nfl_uniform_u16 / nfl_uniform_u64 — mask+subtract
+//     uniform residue sampling (reference core.hpp:151-186 semantics)
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+inline uint32_t rotl(uint32_t x, int c) { return (x << c) | (x >> (32 - c)); }
+
+inline uint32_t load32(const uint8_t *p) {
+  return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
+         ((uint32_t)p[3] << 24);
+}
+
+inline void store32(uint8_t *p, uint32_t v) {
+  p[0] = (uint8_t)v;
+  p[1] = (uint8_t)(v >> 8);
+  p[2] = (uint8_t)(v >> 16);
+  p[3] = (uint8_t)(v >> 24);
+}
+
+constexpr uint32_t kSigma[4] = {0x61707865u, 0x3320646Eu, 0x79622D32u,
+                                0x6B206574u};  // "expand 32-byte k"
+
+void salsa20_block(uint8_t out[64], const uint32_t key[8],
+                   const uint32_t nonce[2], uint64_t counter) {
+  uint32_t j[16] = {
+      kSigma[0], key[0],  key[1],  key[2],
+      key[3],    kSigma[1], nonce[0], nonce[1],
+      (uint32_t)counter, (uint32_t)(counter >> 32), kSigma[2], key[4],
+      key[5],    key[6],  key[7],  kSigma[3]};
+  uint32_t x[16];
+  std::memcpy(x, j, sizeof(x));
+
+#define QR(a, b, c, d)          \
+  x[b] ^= rotl(x[a] + x[d], 7); \
+  x[c] ^= rotl(x[b] + x[a], 9); \
+  x[d] ^= rotl(x[c] + x[b], 13); \
+  x[a] ^= rotl(x[d] + x[c], 18)
+
+  for (int round = 0; round < 10; ++round) {
+    QR(0, 4, 8, 12);
+    QR(5, 9, 13, 1);
+    QR(10, 14, 2, 6);
+    QR(15, 3, 7, 11);
+    QR(0, 1, 2, 3);
+    QR(5, 6, 7, 4);
+    QR(10, 11, 8, 9);
+    QR(15, 12, 13, 14);
+  }
+#undef QR
+  for (int i = 0; i < 16; ++i) store32(out + 4 * i, x[i] + j[i]);
+}
+
+}  // namespace
+
+extern "C" {
+
+// crypto_stream_salsa20 equivalent: keystream of `nbytes` under (key, nonce).
+void nfl_salsa20_stream(uint8_t *out, uint64_t nbytes, const uint8_t nonce8[8],
+                        const uint8_t key32[32]) {
+  uint32_t key[8], nonce[2];
+  for (int i = 0; i < 8; ++i) key[i] = load32(key32 + 4 * i);
+  nonce[0] = load32(nonce8);
+  nonce[1] = load32(nonce8 + 4);
+  uint64_t counter = 0;
+  uint8_t block[64];
+  while (nbytes >= 64) {
+    salsa20_block(out, key, nonce, counter++);
+    out += 64;
+    nbytes -= 64;
+  }
+  if (nbytes) {
+    salsa20_block(block, key, nonce, counter);
+    std::memcpy(out, block, nbytes);
+  }
+}
+
+// fastrandombytes equivalent (reference lib/prng/fastrandombytes.cpp:21-34):
+// state = 32-byte key followed by a little-endian 64-bit nonce that is
+// incremented once per call.
+void nfl_fastrandombytes(uint8_t state40[40], uint8_t *out, uint64_t nbytes) {
+  nfl_salsa20_stream(out, nbytes, state40 + 32, state40);
+  uint64_t nonce;
+  std::memcpy(&nonce, state40 + 32, 8);
+  ++nonce;  // host is little-endian on all supported platforms
+  std::memcpy(state40 + 32, &nonce, 8);
+}
+
+// Uniform residue sampling, one call per poly (reference core.hpp:151-186):
+// fill from the stream, mask each channel to the modulus bit width, subtract
+// p once if >= p (the documented non-rejection bias tradeoff).
+#define DEFINE_UNIFORM(NAME, T)                                             \
+  void NAME(uint8_t state40[40], T *data, const T *moduli, uint64_t nmoduli, \
+            uint64_t degree, T mask) {                                      \
+    nfl_fastrandombytes(state40, (uint8_t *)data,                           \
+                        nmoduli * degree * sizeof(T));                      \
+    for (uint64_t cm = 0; cm < nmoduli; ++cm) {                             \
+      const T p = moduli[cm];                                               \
+      T *row = data + cm * degree;                                          \
+      for (uint64_t i = 0; i < degree; ++i) {                               \
+        T t = row[i] & mask;                                                \
+        row[i] = (t >= p) ? (T)(t - p) : t;                                 \
+      }                                                                     \
+    }                                                                       \
+  }
+
+DEFINE_UNIFORM(nfl_uniform_u16, uint16_t)
+DEFINE_UNIFORM(nfl_uniform_u32, uint32_t)
+DEFINE_UNIFORM(nfl_uniform_u64, uint64_t)
+#undef DEFINE_UNIFORM
+
+}  // extern "C"

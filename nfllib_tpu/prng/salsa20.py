@@ -89,13 +89,19 @@ def crypto_stream(nbytes: int, nonce: bytes, key: bytes) -> bytes:
 
 
 class Salsa20Stream:
-    """fastrandombytes-equivalent stateful stream (nonce bumped per call)."""
+    """fastrandombytes-equivalent stateful stream (nonce bumped per call).
+
+    Uses the native C++ tier (csrc/nfl_native.cpp via nfllib_tpu.native) when
+    a compiler is available, the vectorized numpy tier otherwise — both emit
+    the identical byte stream (golden-anchored in tests)."""
 
     def __init__(self, key: bytes, nonce: int = 0):
         if len(key) != KEY_BYTES:
             raise ValueError("Salsa20 key must be 32 bytes")
         self.key = bytes(key)
         self.nonce = int(nonce)
+        from .. import native
+        self._native = native if native.available() else None
 
     @classmethod
     def from_system_entropy(cls) -> "Salsa20Stream":
@@ -103,8 +109,14 @@ class Salsa20Stream:
         return cls(randombytes(KEY_BYTES))
 
     def randombytes(self, nbytes: int) -> bytes:
-        out = crypto_stream(
-            nbytes, int(self.nonce).to_bytes(NONCE_BYTES, "little"), self.key)
+        if self._native is not None:
+            out = self._native.salsa20_stream(
+                nbytes, int(self.nonce).to_bytes(NONCE_BYTES, "little"),
+                self.key)
+        else:
+            out = crypto_stream(
+                nbytes, int(self.nonce).to_bytes(NONCE_BYTES, "little"),
+                self.key)
         self.nonce = (self.nonce + 1) & 0xFFFFFFFFFFFFFFFF
         return out
 

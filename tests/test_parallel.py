@@ -1,0 +1,130 @@
+"""Distributed execution tests on the virtual 8-device CPU mesh.
+
+The TPU-native replacement for the reference's absent distribution layer
+(SURVEY.md §2 note): residue channels (`rns`) and poly batches (`batch`) are
+zero-communication mesh axes mirroring the independent `cm` loops (reference
+core.hpp:597,610); the degree axis (`deg`) is the four-step NTT with an ICI
+all-to-all (parallel/ntt_dist.py).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import nfllib_tpu as nfl
+from nfllib_tpu.ops import ntt as ntt_jnp
+from nfllib_tpu.parallel import ntt_dist
+from nfllib_tpu.utils import bitrev_indices
+
+from conftest import make_ring, rand_residues
+
+
+def _mesh(shape, names):
+    devs = np.array(jax.devices("cpu")[: int(np.prod(shape))]).reshape(shape)
+    return Mesh(devs, axis_names=names)
+
+
+# ---------------------------------------------------------------------------
+# four-step math vs the Harvey path (single device)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("degree,agg,limb,n1", [
+    (64, 60, "u32", 8),
+    (256, 60, "u32", 16),
+    (256, 14, "u16", 16),
+    (64, 124, "u64", 8),
+])
+def test_four_step_matches_harvey(degree, agg, limb, n1, rng):
+    ring = make_ring(degree, agg, limb)
+    x = rand_residues(ring, rng)
+    n2 = degree // n1
+    four = np.asarray(ntt_dist.four_step_reference(x, ring, n1))
+    harvey = np.asarray(ntt_jnp.ntt_pow_phi(x, ring.context()))
+    # harvey[j] = E[bitrev_n(j)]; four[k1,k2] = E[k1 + n1*k2]
+    rev = bitrev_indices(degree)
+    E = four.reshape(ring.nmoduli, n1, n2).transpose(0, 2, 1).reshape(
+        ring.nmoduli, degree)  # E[k] with k = k1 + n1*k2
+    np.testing.assert_array_equal(harvey, E[:, rev])
+
+
+@pytest.mark.parametrize("degree,agg,limb,n1", [
+    (64, 60, "u32", 8),
+    (256, 60, "u32", 16),
+])
+def test_four_step_roundtrip(degree, agg, limb, n1, rng):
+    ring = make_ring(degree, agg, limb)
+    x = rand_residues(ring, rng)
+    y = ntt_dist.four_step_reference(x, ring, n1)
+    back = np.asarray(ntt_dist.four_step_reference_inverse(y, ring, n1))
+    np.testing.assert_array_equal(back, x)
+
+
+# ---------------------------------------------------------------------------
+# distributed four-step over the deg axis
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+def test_distributed_ntt_matches_single_device(ndev, rng):
+    ring = make_ring(256, 60, "u32")
+    mesh = _mesh((ndev,), ("deg",))
+    x = rand_residues(ring, rng)
+    xd = jax.device_put(
+        jnp.asarray(x), NamedSharding(mesh, P(None, "deg")))
+    out = np.asarray(ntt_dist.distributed_ntt_pow_phi(xd, ring, mesh))
+    want = np.asarray(ntt_dist.four_step_reference(x, ring, 16))
+    np.testing.assert_array_equal(out, want)
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_distributed_roundtrip(ndev, rng):
+    ring = make_ring(1024, 60, "u32")
+    mesh = _mesh((ndev,), ("deg",))
+    x = rand_residues(ring, rng)
+    xd = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(None, "deg")))
+    y = ntt_dist.distributed_ntt_pow_phi(xd, ring, mesh)
+    back = np.asarray(ntt_dist.distributed_invntt_pow_invphi(y, ring, mesh))
+    np.testing.assert_array_equal(back, x)
+
+
+def test_distributed_pointwise_pipeline(rng):
+    """NTT-domain pointwise product in the four-step layout: the full
+    negacyclic product pipeline never needs a global reorder."""
+    ring = make_ring(256, 60, "u32")
+    ctx = ring.context()
+    mesh = _mesh((4,), ("deg",))
+    a = rand_residues(ring, rng)
+    b = rand_residues(ring, rng)
+    sh = NamedSharding(mesh, P(None, "deg"))
+    ad = jax.device_put(jnp.asarray(a), sh)
+    bd = jax.device_put(jnp.asarray(b), sh)
+    fa = ntt_dist.distributed_ntt_pow_phi(ad, ring, mesh)
+    fb = ntt_dist.distributed_ntt_pow_phi(bd, ring, mesh)
+    from nfllib_tpu.ops import modops
+    prod = modops.mulmod(fa, fb, jnp.asarray(ctx.p_col)[..., None],
+                         jnp.asarray(ctx.pn_col)[..., None])
+    got = np.asarray(
+        ntt_dist.distributed_invntt_pow_invphi(prod, ring, mesh))
+    from nfllib_tpu import oracle
+    want = oracle.negacyclic_mul_schoolbook(a, b, ring)
+    np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# zero-communication rns/batch axes (pjit auto-sharding)
+# ---------------------------------------------------------------------------
+
+def test_rns_batch_sharded_ntt(rng):
+    ring = make_ring(512, 120, "u32")  # 4 channels
+    ctx = ring.context()
+    mesh = _mesh((2, 4), ("batch", "rns"))
+    x = rand_residues(ring, rng, batch=(4,))
+    sh = NamedSharding(mesh, P("batch", "rns", None))
+    xd = jax.device_put(jnp.asarray(x), sh)
+    fn = jax.jit(lambda v: ntt_jnp.ntt_pow_phi(v, ctx),
+                 in_shardings=sh, out_shardings=sh)
+    with mesh:
+        out = np.asarray(fn(xd))
+    want = np.asarray(ntt_jnp.ntt_pow_phi(jnp.asarray(x), ctx))
+    np.testing.assert_array_equal(out, want)
