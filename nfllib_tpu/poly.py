@@ -131,6 +131,13 @@ class Poly:
         """Draw a random polynomial (reference poly(mode) constructors)."""
         return cls(jnp.asarray(sample(ring, mode, stream)), ring)
 
+    @classmethod
+    def sample_on_device(cls, ring: Ring, mode, key: bytes, nonce: int = 0):
+        """Draw a random polynomial with the keystream generated and consumed
+        on the accelerator (prng/device_sampling.py); jit/fusion friendly."""
+        from .prng.device_sampling import device_sample
+        return cls(device_sample(ring, mode, key, nonce), ring)
+
     # --- basic introspection -------------------------------------------------
     @property
     def batch_shape(self):
