@@ -119,7 +119,11 @@ def ntt(x, ctx: RingContext, *, inverse_tables: bool = False):
 
 def inv_ntt(x, ctx: RingContext):
     """Bit-reverse -> forward pass with inverse twiddles -> bit-reverse
-    (reference core.hpp:539-557).  No n^-1 scaling."""
+    (reference core.hpp:539-557).  No n^-1 scaling.  The Pallas path computes
+    the same unique values by direct stage inversion with no permutations."""
+    if _use_pallas(ctx.ring):
+        from . import ntt_pallas
+        return ntt_pallas.intt_bwd(jnp.asarray(x), ctx, untwist=False)
     rev = jnp.asarray(ctx.bitrev)
     y = jnp.take(x, rev, axis=-1)
     y = ntt(y, ctx, inverse_tables=True)
@@ -142,6 +146,9 @@ def ntt_pow_phi(x, ctx: RingContext):
 def invntt_pow_invphi(x, ctx: RingContext):
     """Inverse transform with fused n^-1 * phi^-i un-twist
     (reference core.hpp:608-614)."""
+    if _use_pallas(ctx.ring):
+        from . import ntt_pallas
+        return ntt_pallas.intt_bwd(jnp.asarray(x), ctx, untwist=True)
     y = inv_ntt(jnp.asarray(x), ctx)
     itab = jnp.asarray(ctx.invpoly_times_invphis)
     sitab = jnp.asarray(ctx.shoupinvpoly_times_invphis)

@@ -278,3 +278,170 @@ def ntt_fwd(x, ctx, *, inverse_tables=False, twist=True, strict=True,
                       bool(interpret), bsub)
     out = call(xb)
     return out.reshape(batch + (m, n))
+
+
+# ---------------------------------------------------------------------------
+# inverse transform: permutation-free stage inversion
+# ---------------------------------------------------------------------------
+#
+# The reference computes INTT as bitrev -> forward-DIF with inverse twiddles
+# -> bitrev (core.hpp:539-557) then an n^-1 * phi^-i untwist (core.hpp:608-
+# 614).  The canonical INTT result is mathematically unique, so this kernel
+# instead inverts the forward stages directly, last to first:
+#     forward stage: (a, b) -> (a + b, w*(a - b))        [Harvey lazy]
+#     inverse stage: (A, B) -> (A + w^-1*B, A - w^-1*B)  [= (2a, 2b)]
+# The doubling accumulates to n across log2(n) stages and is cancelled by the
+# n^-1 factor already inside invpoly_times_invphis — zero extra cost, zero
+# bit-reversal gathers, one kernel for the whole inverse.  The inverse
+# twiddles live at the same blocked-table positions (powers of omega^-1).
+
+
+def _inv_butterfly(t0, t2, wi_t, wi_s, p, two_p, mulhi):
+    """(A, B) -> (A + w^-1 B, A - w^-1 B), all values in [0, 2p)."""
+    q = mulhi(t2, wi_s)
+    v = t2 * wi_t - q * p                     # w^-1 * B, lazy < 2p
+    a = _lazymod(t0 + v, two_p)
+    b = _lazymod(t0 - v + two_p, two_p)
+    return a, b
+
+
+def _row_stages_inv(x, wmain_ref, wsmain_ref, n, log_r, p, two_p, mulhi):
+    B, R, C = x.shape
+    offs = []
+    off = 0
+    for s in range(log_r):
+        offs.append(off)
+        off += n >> (s + 1)
+    for s in reversed(range(log_r)):
+        half = n >> (s + 1)
+        hs = half // LANES
+        off = offs[s]
+        wt = wmain_ref[0, 0, off:off + half].reshape(hs, LANES)
+        wi = wsmain_ref[0, 0, off:off + half].reshape(hs, LANES)
+        v = x.reshape(B, 1 << s, 2 * hs, C)
+        t0 = v[:, :, :hs, :]
+        t2 = v[:, :, hs:, :]
+        a, b = _inv_butterfly(t0, t2, wt, wi, p, two_p, mulhi)
+        x = jnp.concatenate([a, b], axis=2).reshape(B, R, C)
+    return x
+
+
+def _lane_stages_inv(x, lvec_ref, lsvec_ref, p, two_p, mulhi):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), dimension=2)
+    for t in reversed(range(LOG_LANES)):
+        h = LANES >> (t + 1)
+        wt = lvec_ref[0, t, :].reshape(1, 1, LANES)
+        wi = lsvec_ref[0, t, :].reshape(1, 1, LANES)
+        q = mulhi(x, wi)
+        v = x * wt - q * p                    # w^-1 * B at second-half lanes
+        va = pltpu.roll(v, np.int32(LANES - h), 2)   # v[j+h] at lane j
+        t0p = pltpu.roll(x, np.int32(h), 2)          # A at lane j-h
+        a = _lazymod(x + va, two_p)
+        b = _lazymod(t0p - v + two_p, two_p)
+        first = (lane & h) == 0
+        x = jnp.where(first, a, b)
+    return x
+
+
+def _intt_kernel(n, log_r, narrow, untwist, strict,
+                 x_ref, ivp_ref, sivp_ref, wmain_ref, wsmain_ref,
+                 lvec_ref, lsvec_ref, p_ref, o_ref):
+    dt = jnp.uint32
+    p = p_ref[0, 0, 0]
+    two_p = p + p
+    x = x_ref[:, 0]                        # [B, R, 128]
+    if narrow:
+        x = x.astype(dt)
+    mulhi = _mulhi16_in32 if narrow else modops._mulhi_u32
+
+    x = _lane_stages_inv(x, lvec_ref, lsvec_ref, p, two_p, mulhi)
+    x = _row_stages_inv(x, wmain_ref, wsmain_ref, n, log_r, p, two_p, mulhi)
+
+    if untwist:
+        ivp = ivp_ref[0][None]
+        sivp = sivp_ref[0][None]
+        q = mulhi(x, sivp)
+        x = x * ivp - q * p
+    if strict:
+        x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
+    o_ref[:, 0] = x.astype(o_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_intt(ctx_id, untwist, strict, interpret, bsub):
+    ctx = _CTX_BY_ID[ctx_id]
+    ring = ctx.ring
+    n, m = ring.degree, ring.nmoduli
+    R = n // LANES
+    log_r = static_log2(R)
+    dt = ring.dtype
+    narrow = ring.limb == "u16"
+
+    wmain, wsmain, lvec, lsvec = _kernel_tables(ctx_id, True)
+    cast = np.uint32
+    ivp = ctx.invpoly_times_invphis.reshape(m, R, LANES).astype(cast)
+    sivp = ctx.shoupinvpoly_times_invphis.reshape(m, R, LANES).astype(cast)
+    p_smem = ctx.p.reshape(m, 1, 1).astype(cast)
+
+    kern = functools.partial(_intt_kernel, n, log_r, narrow, untwist, strict)
+
+    def call(xb):
+        B = xb.shape[0]
+        grid = (m, B // bsub)
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bsub, 1, R, LANES),
+                             lambda c, b: (b, c, _I0, _I0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, R, LANES), lambda c, b: (c, _I0, _I0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, R, LANES), lambda c, b: (c, _I0, _I0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n - LANES), lambda c, b: (c, _I0, _I0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n - LANES), lambda c, b: (c, _I0, _I0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, LOG_LANES, LANES),
+                             lambda c, b: (c, _I0, _I0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, LOG_LANES, LANES),
+                             lambda c, b: (c, _I0, _I0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1), lambda c, b: (c, _I0, _I0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((bsub, 1, R, LANES),
+                                   lambda c, b: (b, c, _I0, _I0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(xb.shape, dt),
+            interpret=interpret,
+        )(xb, jnp.asarray(ivp), jnp.asarray(sivp), jnp.asarray(wmain),
+          jnp.asarray(wsmain), jnp.asarray(lvec), jnp.asarray(lsvec),
+          jnp.asarray(p_smem))
+
+    return call
+
+
+def intt_bwd(x, ctx, *, untwist=True, strict=True, interpret=None):
+    """Inverse negacyclic transform of [..., m, n] Harvey-ordered residues via
+    stage inversion; untwist=True applies the fused n^-1 phi^-i scaling
+    (bit-identical to ops/ntt.py's invntt_pow_invphi)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ring = ctx.ring
+    n, m = ring.degree, ring.nmoduli
+    R = n // LANES
+    ctx_id = _register_ctx(ctx)
+    x = jnp.asarray(x)
+    batch = x.shape[:-2]
+    xb = x.reshape((-1, m, R, LANES))
+    B = xb.shape[0]
+    bsub = _BSUB
+    while bsub > 1 and B % bsub:
+        bsub //= 2
+    call = _build_intt(ctx_id, bool(untwist), bool(strict), bool(interpret),
+                       bsub)
+    out = call(xb)
+    return out.reshape(batch + (m, n))

@@ -52,3 +52,22 @@ def test_odd_batch_sizes(rng):
         want = np.asarray(ntt_jnp.ntt_pow_phi(x, ctx))
         got = np.asarray(ntt_pallas.ntt_fwd(x, ctx, interpret=True))
         np.testing.assert_array_equal(want, got)
+
+
+@pytest.mark.parametrize("degree,agg,limb", CONFIGS)
+def test_intt_matches_jnp(degree, agg, limb, rng):
+    """The permutation-free stage-inversion INTT kernel must equal the jnp
+    bitrev->forward->bitrev->untwist path bit-for-bit."""
+    ring = nfl.ring_from_modulus(limb, degree, agg)
+    ctx = ring.context()
+    x = rand_residues(ring, rng, batch=(2,))
+    f = np.asarray(ntt_jnp.ntt_pow_phi(x, ctx))
+    want = np.asarray(ntt_jnp.invntt_pow_invphi(f, ctx))
+    got = np.asarray(ntt_pallas.intt_bwd(f, ctx, interpret=True))
+    np.testing.assert_array_equal(want, got)
+    np.testing.assert_array_equal(want, x)   # roundtrip
+    # raw inverse (no untwist) too
+    w2 = np.asarray(ntt_jnp.inv_ntt(f, ctx))
+    g2 = np.asarray(ntt_pallas.intt_bwd(f, ctx, untwist=False,
+                                        interpret=True))
+    np.testing.assert_array_equal(w2, g2)
