@@ -27,8 +27,8 @@ def main():
 
     n = 1 << 14
     m = 17            # 17 x 30-bit = 510 bits >= 8 x 62 = 496 bits
-    batch = 8
-    chain = 65        # NTT applications per dispatch: the chained-vs-single
+    batch = 16
+    chain = 33        # NTT applications per dispatch: the chained-vs-single
                       # time delta must dwarf the tunnel's 30-100 ms RTT jitter
 
     ring = nfl.Ring("u32", n, m)
@@ -53,17 +53,18 @@ def main():
     # RTT cancels.  min-of-reps suppresses RTT jitter.
     xd = jnp.asarray(x)
 
-    def timed(K, reps=8):
-        def stepK(v):
-            for _ in range(K):
-                v = ntt_mod.ntt_pow_phi(v, ctx)
-            return v
-        f = jax.jit(stepK)
-        _ = np.asarray(f(xd)[0, 0, 0:1])  # compile + first run
+    def f(v, k):
+        return jax.lax.fori_loop(0, k,
+                                 lambda i, vv: ntt_mod.ntt_pow_phi(vv, ctx),
+                                 v)
+    jf = jax.jit(f)
+    _ = np.asarray(jf(xd, 1)[0, 0, 0:1])   # compile once (dynamic K)
+
+    def timed(K, reps=10):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = f(xd)
+            out = jf(xd, K)
             _ = np.asarray(out[0, 0, 0:1])
             best = min(best, time.perf_counter() - t0)
         return best

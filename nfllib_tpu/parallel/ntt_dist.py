@@ -270,7 +270,7 @@ def distributed_ntt_pow_phi(x, ring: Ring, mesh: Mesh, *, n1=None,
     spec = P(*([None] * (xr.ndim - 1) + [deg_axis]))
     out_spec = P(*([None] * (xr.ndim - 2) + [deg_axis, None]))
     fn = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=out_spec,
-                   check_rep=False)
+                   check_vma=False)
     return fn(xr)
 
 
@@ -325,7 +325,7 @@ def distributed_invntt_pow_invphi(y, ring: Ring, mesh: Mesh, *, n1=None,
     spec = P(*([None] * (y.ndim - 2) + [deg_axis, None]))
     out_spec = P(*([None] * (y.ndim - 2) + [None, deg_axis]))
     fn = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=out_spec,
-                   check_rep=False)
+                   check_vma=False)
     out = fn(y)
     return out.reshape(out.shape[:-2] + (n,))
 
