@@ -127,3 +127,104 @@ DEFINE_UNIFORM(nfl_uniform_u64, uint64_t)
 #undef DEFINE_UNIFORM
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CRT lifting (reference include/nfl/gmp.hpp:113-219, reimplemented without
+// GMP on fixed-width multiword arithmetic; __uint128_t provides the
+// 64x64->128 multiply).
+//
+// poly2mpz uses the classic Garner-free CRT form
+//     x = sum_cm (v_cm * inv_cm mod p_cm) * (prod / p_cm)   (mod prod)
+// where inv_cm = (prod/p_cm)^-1 mod p_cm.  Each term multiplies a multiword
+// constant Q_cm = prod/p_cm by a word-sized scalar; the accumulated quotient
+// vs prod is < nmoduli, removed by conditional subtraction.  Results are
+// canonical (identical to the reference's Shoup-reduced lift).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// acc[0..W] += q[0..W-1] * scalar   (acc has one extra overflow word)
+inline void addmul_word(uint64_t *acc, const uint64_t *q, uint64_t scalar,
+                        uint64_t W) {
+  unsigned __int128 carry = 0;
+  for (uint64_t j = 0; j < W; ++j) {
+    unsigned __int128 cur =
+        (unsigned __int128)q[j] * scalar + acc[j] + (uint64_t)carry;
+    acc[j] = (uint64_t)cur;
+    carry = cur >> 64;
+  }
+  acc[W] += (uint64_t)carry;
+}
+
+// return acc >= mod (both W+1 words, mod's top word implicitly 0-extended)
+inline bool geq(const uint64_t *acc, const uint64_t *mod, uint64_t W) {
+  if (acc[W]) return true;
+  for (uint64_t j = W; j-- > 0;) {
+    if (acc[j] != mod[j]) return acc[j] > mod[j];
+  }
+  return true;  // equal
+}
+
+inline void sub_inplace(uint64_t *acc, const uint64_t *mod, uint64_t W) {
+  unsigned __int128 borrow = 0;
+  for (uint64_t j = 0; j < W; ++j) {
+    unsigned __int128 cur = (unsigned __int128)acc[j] - mod[j]
+                            - (uint64_t)borrow;
+    acc[j] = (uint64_t)cur;
+    borrow = (cur >> 64) ? 1 : 0;
+  }
+  acc[W] -= (uint64_t)borrow;
+}
+
+inline uint64_t mulmod_u64(uint64_t a, uint64_t b, uint64_t p) {
+  return (uint64_t)(((unsigned __int128)a * b) % p);
+}
+
+}  // namespace
+
+extern "C" {
+
+// residues: [m, n] row-major uint64 (narrower limbs widened by the caller)
+// qtab:     [m, W]  Q_cm = prod/p_cm, little-endian 64-bit words
+// invtab:   [m]     (prod/p_cm)^-1 mod p_cm
+// prod:     [W]     moduli product
+// out:      [n, W]  canonical coefficients, little-endian words
+void nfl_poly2mpz(const uint64_t *residues, const uint64_t *qtab,
+                  const uint64_t *invtab, const uint64_t *prod,
+                  const uint64_t *moduli, uint64_t m, uint64_t n, uint64_t W,
+                  uint64_t *out, uint64_t *scratch /* W+1 words */) {
+  for (uint64_t i = 0; i < n; ++i) {
+    uint64_t *acc = scratch;
+    for (uint64_t j = 0; j <= W; ++j) acc[j] = 0;
+    for (uint64_t cm = 0; cm < m; ++cm) {
+      uint64_t v = residues[cm * n + i];
+      uint64_t t = mulmod_u64(v, invtab[cm], moduli[cm]);
+      if (t) addmul_word(acc, qtab + cm * W, t, W);
+    }
+    while (geq(acc, prod, W)) sub_inplace(acc, prod, W);
+    for (uint64_t j = 0; j < W; ++j) out[i * W + j] = acc[j];
+  }
+}
+
+// Reduce big coefficients (little-endian words) modulo each prime:
+// out[cm, i] = coeff_i mod p_cm, via Horner over the words.
+void nfl_mpz2poly(const uint64_t *coeffs, uint64_t m, uint64_t n, uint64_t W,
+                  const uint64_t *moduli, uint64_t *out) {
+  for (uint64_t cm = 0; cm < m; ++cm) {
+    const uint64_t p = moduli[cm];
+    // 2^64 mod p
+    uint64_t base = (uint64_t)((((unsigned __int128)1) << 64) % p);
+    for (uint64_t i = 0; i < n; ++i) {
+      const uint64_t *w = coeffs + i * W;
+      uint64_t r = 0;
+      for (uint64_t j = W; j-- > 0;) {
+        r = mulmod_u64(r, base, p);
+        unsigned __int128 cur = (unsigned __int128)r + (w[j] % p);
+        r = (uint64_t)(cur % p);
+      }
+      out[cm * n + i] = r;
+    }
+  }
+}
+
+}  // extern "C"

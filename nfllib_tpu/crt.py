@@ -24,6 +24,9 @@ def poly2mpz(p: Poly) -> list:
     arr = np.asarray(p.data)
     if arr.ndim != 2:
         raise ValueError("poly2mpz expects an unbatched [m, n] poly")
+    from . import native
+    if native.available():
+        return native.poly2mpz_native(arr, ctx)
     prod = ctx.moduli_product
     lift = ctx.lifting_integers
     out = []
@@ -44,6 +47,9 @@ def mpz2poly(ring: Ring, values) -> Poly:
     vals = list(values)
     if len(vals) != n:
         raise ValueError(f"expected {n} coefficients, got {len(vals)}")
+    from . import native
+    if native.available() and all(v >= 0 for v in vals):
+        return Poly(jnp.asarray(native.mpz2poly_native(vals, ring)), ring)
     data = np.zeros((m, n), dtype=ring.dtype)
     for cm in range(m):
         pm = int(ring.moduli[cm])

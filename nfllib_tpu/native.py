@@ -111,3 +111,65 @@ def uniform(state: np.ndarray, moduli: np.ndarray, degree: int,
         state.ctypes.data, data.ctypes.data,
         np.ascontiguousarray(moduli).ctypes.data, m, degree, mask)
     return data
+
+
+# ---------------------------------------------------------------------------
+# CRT lifting (native gmp-free bridge; see csrc nfl_poly2mpz/nfl_mpz2poly)
+# ---------------------------------------------------------------------------
+
+def _setup_crt(lib):
+    if getattr(lib, "_crt_ready", False):
+        return
+    lib.nfl_poly2mpz.argtypes = [ctypes.c_void_p] * 5 + [
+        ctypes.c_uint64] * 3 + [ctypes.c_void_p, ctypes.c_void_p]
+    lib.nfl_mpz2poly.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                 ctypes.c_uint64, ctypes.c_uint64,
+                                 ctypes.c_void_p, ctypes.c_void_p]
+    lib._crt_ready = True
+
+
+def _int_to_words(v: int, W: int) -> np.ndarray:
+    return np.frombuffer(
+        int(v).to_bytes(W * 8, "little"), dtype="<u8").astype(np.uint64)
+
+
+def poly2mpz_native(residues: np.ndarray, ctx) -> list:
+    """residues [m, n] -> list of python ints (canonical mod prod)."""
+    lib = get_lib()
+    _setup_crt(lib)
+    m, n = residues.shape
+    prod = ctx.moduli_product
+    W = (prod.bit_length() + 63) // 64
+    qtab = np.empty((m, W), dtype=np.uint64)
+    invtab = np.empty(m, dtype=np.uint64)
+    for cm in range(m):
+        p = int(ctx.ring.moduli[cm])
+        q = prod // p
+        qtab[cm] = _int_to_words(q, W)
+        invtab[cm] = pow(q, -1, p)
+    prodw = _int_to_words(prod, W)
+    mod = np.array([int(x) for x in ctx.ring.moduli], dtype=np.uint64)
+    res64 = np.ascontiguousarray(residues.astype(np.uint64))
+    out = np.zeros((n, W), dtype=np.uint64)
+    scratch = np.zeros(W + 1, dtype=np.uint64)
+    lib.nfl_poly2mpz(res64.ctypes.data, qtab.ctypes.data, invtab.ctypes.data,
+                     prodw.ctypes.data, mod.ctypes.data, m, n, W,
+                     out.ctypes.data, scratch.ctypes.data)
+    return [int.from_bytes(out[i].tobytes(), "little") for i in range(n)]
+
+
+def mpz2poly_native(values, ring) -> np.ndarray:
+    """list of nonnegative python ints -> residues [m, n] in the limb dtype."""
+    lib = get_lib()
+    _setup_crt(lib)
+    n, m = ring.degree, ring.nmoduli
+    maxbits = max((int(v).bit_length() for v in values), default=1)
+    W = max(1, (maxbits + 63) // 64)
+    coeffs = np.empty((n, W), dtype=np.uint64)
+    for i, v in enumerate(values):
+        coeffs[i] = _int_to_words(int(v), W)
+    mod = np.array([int(x) for x in ring.moduli], dtype=np.uint64)
+    out = np.zeros((m, n), dtype=np.uint64)
+    lib.nfl_mpz2poly(coeffs.ctypes.data, m, n, W, mod.ctypes.data,
+                     out.ctypes.data)
+    return out.astype(ring.dtype)

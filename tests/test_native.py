@@ -68,3 +68,26 @@ def test_native_uniform_matches_python_sampler():
                              ring.degree, ring.modulus_bits)
         np.testing.assert_array_equal(want, got)
         assert native.state_nonce(state) == 1
+
+
+def test_native_crt_matches_python():
+    import nfllib_tpu as nfl
+    from nfllib_tpu import crt
+    from nfllib_tpu.prng.salsa20 import Salsa20Stream
+
+    for limb, n, agg in [("u16", 64, 14), ("u32", 128, 90), ("u64", 32, 124)]:
+        ring = nfl.ring_from_modulus(limb, n, agg)
+        ctx = ring.context()
+        p = nfl.Poly.sample(ring, nfl.uniform(), Salsa20Stream(b"\x21" * 32))
+        arr = np.asarray(p.data)
+        got = native.poly2mpz_native(arr, ctx)
+        # python oracle (the pre-native implementation)
+        prod = ctx.moduli_product
+        lift = ctx.lifting_integers
+        for i in range(ring.degree):
+            want = sum(lift[cm] * int(arr[cm, i])
+                       for cm in range(ring.nmoduli)) % prod
+            assert got[i] == want, (limb, i)
+        # mpz2poly roundtrip
+        back = native.mpz2poly_native(got, ring)
+        np.testing.assert_array_equal(back, arr)
