@@ -1,0 +1,178 @@
+"""MXU (systolic-array) negacyclic NTT — four-step transform as modular
+matrix multiplication with 8-bit limb decomposition.
+
+The butterfly kernels (ops/ntt_pallas.py) are VPU-bound: ~6 int32 multiplies
+per butterfly puts their ceiling near 0.6M channel-NTTs/s per v5e chip.  The
+MXU runs integer-exact bf16 matmuls at ~100x the VPU's multiply throughput,
+so this path reformulates the NTT to spend its multiplies there:
+
+  n = n1*n2, X[i1, i2] = x[i2 + n2*i1]:
+    1. pre-twist by phi^i                          (VPU, Shoup)
+    2. column DFT   F = W1 @ X                     (MXU, mod-p matmul)
+       with W1[k1, i1] = w^(n2 * rev(k1) * i1) — the Harvey bit-reversed
+       output ordering is folded into the DFT matrices, so the result is
+       bit-identical to the butterfly path with no permutation step.
+    3. twiddle      Y = F * Omega^(rev(k1)*i2)     (VPU, Shoup)
+    4. row DFT      O = Y @ W2                     (MXU)
+       with W2[i2, k2] = w^(n1 * i2 * rev(k2));  O[r, c] = harvey[r*n2 + c].
+
+Modular matmul on the MXU: operands (< 2^30) split into four 8-bit limbs
+held exactly in bfloat16; each limb-pair product S_ab = A_a @ B_b
+accumulates exactly in float32 (<= 128 * 255^2 < 2^23 per term group, within
+the 2^24 f32 integer range); the 7 shifted groups recombine mod p with
+Shoup multiplications by 2^(8k) mod p on the VPU.
+
+This module is the pure-jnp formulation (XLA schedules the MXU einsums and
+fuses the VPU stages); it currently covers square decompositions
+(n in {4096, 16384, 65536}) on the u32 tier, forward direction.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import bitrev_indices, static_log2
+from . import modops
+
+_LIMBS = 4
+_LBITS = 8
+
+
+def supports(ring) -> bool:
+    lg = static_log2(ring.degree)
+    return ring.limb == "u32" and lg % 2 == 0 and ring.degree >= 4096
+
+
+_CTX_BY_ID = {}
+
+
+def _register_ctx(ctx):
+    _CTX_BY_ID[id(ctx)] = ctx
+    return id(ctx)
+
+
+def _decompose_int(mat):
+    """[..., r, c] uint -> [_LIMBS, ..., r, c] bf16 8-bit limbs (exact)."""
+    out = []
+    for a in range(_LIMBS):
+        limb = (mat >> (_LBITS * a)) & 0xFF
+        out.append(limb.astype(np.float32).astype(jnp.bfloat16))
+    return np.stack([np.asarray(o) for o in out], axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _tables(ctx_id):
+    ctx = _CTX_BY_ID[ctx_id]
+    ring = ctx.ring
+    n, m = ring.degree, ring.nmoduli
+    half = static_log2(n) // 2
+    n1 = 1 << half
+    n2 = n // n1
+    rev = bitrev_indices(n1)
+
+    w1 = np.empty((m, n1, n1), dtype=np.uint32)       # col DFT, rev rows
+    w2 = np.empty((m, n2, n2), dtype=np.uint32)       # row DFT, rev cols
+    tw = np.empty((m, n1, n2), dtype=np.uint32)       # omega^(rev(k1)*i2)
+    tws = np.empty((m, n1, n2), dtype=np.uint32)
+    pow2 = np.empty((m, 2 * _LIMBS - 1), dtype=np.uint32)
+    pow2s = np.empty((m, 2 * _LIMBS - 1), dtype=np.uint32)
+
+    for cm in range(m):
+        p = int(ring.moduli[cm])
+        w = ctx.omega_int[cm]
+        wc = pow(w, n2, p)                            # order n1
+        # rows of w1 indexed by output k1 -> exponent rev(k1)*i1
+        e1 = np.array([[pow(wc, int(rev[r]) * i1, p) for i1 in range(n1)]
+                       for r in range(n1)], dtype=np.uint64)
+        w1[cm] = e1
+        wr = pow(w, n1, p)                            # order n2
+        e2 = np.array([[pow(wr, i2 * int(rev[c]), p) for c in range(n2)]
+                       for i2 in range(n2)], dtype=np.uint64)
+        w2[cm] = e2
+        t = np.array([[pow(w, int(rev[r]) * i2, p) for i2 in range(n2)]
+                      for r in range(n1)], dtype=np.uint64)
+        tw[cm] = t
+        tws[cm] = ((t.astype(object) << 32) // p).astype(np.uint64)
+        for k in range(2 * _LIMBS - 1):
+            c = pow(2, _LBITS * k, p)
+            pow2[cm, k] = c
+            pow2s[cm, k] = (c << 32) // p
+
+    w1dec = _decompose_int(w1)                        # [4, m, n1, n1]
+    w2dec = _decompose_int(w2)
+    phis = ctx.phis.reshape(m, n1, n2)
+    sphis = ctx.shoupphis.reshape(m, n1, n2)
+    return (n1, n2, w1dec, w2dec, tw, tws, phis, sphis, pow2, pow2s)
+
+
+def _mod_matmul_left(wdec, x, p3, pow2, pow2s):
+    """W @ X mod p.  wdec: [4, m, r, k] bf16; x: [..., m, k, c] uint32 < p.
+    Returns [..., m, r, c] canonical."""
+    xl = [(x >> (_LBITS * b) & 0xFF).astype(jnp.bfloat16)
+          for b in range(_LIMBS)]
+    groups = [None] * (2 * _LIMBS - 1)
+    for a in range(_LIMBS):
+        wa = jnp.asarray(wdec[a])
+        for b in range(_LIMBS):
+            s = jnp.einsum("mrk,...mkc->...mrc", wa, xl[b],
+                           preferred_element_type=jnp.float32)
+            k = a + b
+            groups[k] = s if groups[k] is None else groups[k] + s
+    return _recombine(groups, p3, pow2, pow2s)
+
+
+def _mod_matmul_right(x, wdec, p3, pow2, pow2s):
+    """X @ W mod p.  x: [..., m, r, k]; wdec: [4, m, k, c]."""
+    xl = [(x >> (_LBITS * b) & 0xFF).astype(jnp.bfloat16)
+          for b in range(_LIMBS)]
+    groups = [None] * (2 * _LIMBS - 1)
+    for a in range(_LIMBS):
+        wa = jnp.asarray(wdec[a])
+        for b in range(_LIMBS):
+            s = jnp.einsum("...mrk,mkc->...mrc", xl[b], wa,
+                           preferred_element_type=jnp.float32)
+            k = a + b
+            groups[k] = s if groups[k] is None else groups[k] + s
+    return _recombine(groups, p3, pow2, pow2s)
+
+
+def _recombine(groups, p3, pow2, pow2s):
+    """sum_k 2^(8k) * G_k mod p; G_k exact integers < 2^25 in f32."""
+    acc = None
+    for k, g in enumerate(groups):
+        gu = g.astype(jnp.uint32)
+        c = pow2[:, k][None, :, None, None] if pow2.ndim == 2 else pow2[k]
+        cs = pow2s[:, k][None, :, None, None] if pow2s.ndim == 2 else pow2s[k]
+        term = modops.mulmod_shoup_lazy(gu, c, cs, p3)    # < 2p
+        term = modops.reduce_once(term, p3)               # < p
+        acc = term if acc is None else modops.addmod(acc, term, p3)
+    return acc
+
+
+def ntt_pow_phi_mxu(x, ctx):
+    """Forward negacyclic transform via MXU matmuls; output bit-identical to
+    ops/ntt.py ntt_pow_phi.  x: [..., m, n] uint32."""
+    ctx_id = _register_ctx(ctx)
+    (n1, n2, w1dec, w2dec, tw, tws, phis, sphis, pow2, pow2s) = \
+        _tables(ctx_id)
+    ring = ctx.ring
+    m, n = ring.nmoduli, ring.degree
+    x = jnp.asarray(x)
+    batch = x.shape[:-2]
+    xb = x.reshape((-1, m, n1, n2))
+    p3 = jnp.asarray(ctx.p.astype(np.uint32))[None, :, None, None]
+
+    # 1. phi pre-twist
+    xb = modops.mulmod_shoup(xb, jnp.asarray(phis)[None],
+                             jnp.asarray(sphis)[None], p3)
+    # 2. column DFT (contract over i1)
+    f = _mod_matmul_left(w1dec, xb, p3, pow2, pow2s)
+    # 3. twiddle
+    f = modops.mulmod_shoup(f, jnp.asarray(tw)[None], jnp.asarray(tws)[None],
+                            p3)
+    # 4. row DFT (contract over i2)
+    o = _mod_matmul_right(f, w2dec, p3, pow2, pow2s)
+    return o.reshape(batch + (m, n))

@@ -1,0 +1,27 @@
+"""MXU matmul-NTT backend vs the jnp stage loop (bit-exactness)."""
+import numpy as np
+import pytest
+
+import nfllib_tpu as nfl
+from nfllib_tpu.ops import ntt as ntt_jnp
+from nfllib_tpu.ops import ntt_mxu
+
+from conftest import rand_residues
+
+
+def test_supports():
+    assert ntt_mxu.supports(nfl.Ring("u32", 4096, 2))
+    assert ntt_mxu.supports(nfl.Ring("u32", 16384, 3))
+    assert not ntt_mxu.supports(nfl.Ring("u32", 8192, 2))   # odd log2
+    assert not ntt_mxu.supports(nfl.Ring("u16", 4096, 1))
+    assert not ntt_mxu.supports(nfl.Ring("u64", 4096, 1))
+
+
+@pytest.mark.parametrize("degree,agg,limb", [(4096, 60, "u32")])
+def test_matches_jnp(degree, agg, limb, rng):
+    ring = nfl.ring_from_modulus(limb, degree, agg)
+    ctx = ring.context()
+    x = rand_residues(ring, rng, batch=(2,))
+    want = np.asarray(ntt_jnp.ntt_pow_phi(x, ctx))
+    got = np.asarray(ntt_mxu.ntt_pow_phi_mxu(x, ctx))
+    np.testing.assert_array_equal(want, got)
