@@ -13,7 +13,7 @@ def test_supports():
     assert ntt_mxu.supports(nfl.Ring("u32", 4096, 2))
     assert ntt_mxu.supports(nfl.Ring("u32", 16384, 3))
     assert not ntt_mxu.supports(nfl.Ring("u32", 8192, 2))   # odd log2
-    assert not ntt_mxu.supports(nfl.Ring("u16", 4096, 1))
+    assert not ntt_mxu.supports(nfl.Ring("u16", 512, 1))    # not u32
     assert not ntt_mxu.supports(nfl.Ring("u64", 4096, 1))
 
 
