@@ -54,12 +54,19 @@ def _register_ctx(ctx):
     return id(ctx)
 
 
+def _limb_dtype():
+    """bf16 on TPU (full-rate MXU); f32 elsewhere (CPU XLA has no
+    bf16xbf16->f32 dot).  Both hold 8-bit integers exactly and accumulate
+    exactly in f32."""
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
 def _decompose_int(mat):
-    """[..., r, c] uint -> [_LIMBS, ..., r, c] bf16 8-bit limbs (exact)."""
+    """[..., r, c] uint -> [_LIMBS, ..., r, c] float 8-bit limbs (exact)."""
     out = []
     for a in range(_LIMBS):
         limb = (mat >> (_LBITS * a)) & 0xFF
-        out.append(limb.astype(np.float32).astype(jnp.bfloat16))
+        out.append(limb.astype(np.float32))
     return np.stack([np.asarray(o) for o in out], axis=0)
 
 
@@ -111,11 +118,11 @@ def _tables(ctx_id):
 def _mod_matmul_left(wdec, x, p3, pow2, pow2s):
     """W @ X mod p.  wdec: [4, m, r, k] bf16; x: [..., m, k, c] uint32 < p.
     Returns [..., m, r, c] canonical."""
-    xl = [(x >> (_LBITS * b) & 0xFF).astype(jnp.bfloat16)
-          for b in range(_LIMBS)]
+    fdt = _limb_dtype()
+    xl = [(x >> (_LBITS * b) & 0xFF).astype(fdt) for b in range(_LIMBS)]
     groups = [None] * (2 * _LIMBS - 1)
     for a in range(_LIMBS):
-        wa = jnp.asarray(wdec[a])
+        wa = jnp.asarray(wdec[a]).astype(fdt)
         for b in range(_LIMBS):
             s = jnp.einsum("mrk,...mkc->...mrc", wa, xl[b],
                            preferred_element_type=jnp.float32)
@@ -126,11 +133,11 @@ def _mod_matmul_left(wdec, x, p3, pow2, pow2s):
 
 def _mod_matmul_right(x, wdec, p3, pow2, pow2s):
     """X @ W mod p.  x: [..., m, r, k]; wdec: [4, m, k, c]."""
-    xl = [(x >> (_LBITS * b) & 0xFF).astype(jnp.bfloat16)
-          for b in range(_LIMBS)]
+    fdt = _limb_dtype()
+    xl = [(x >> (_LBITS * b) & 0xFF).astype(fdt) for b in range(_LIMBS)]
     groups = [None] * (2 * _LIMBS - 1)
     for a in range(_LIMBS):
-        wa = jnp.asarray(wdec[a])
+        wa = jnp.asarray(wdec[a]).astype(fdt)
         for b in range(_LIMBS):
             s = jnp.einsum("...mrk,mkc->...mrc", xl[b], wa,
                            preferred_element_type=jnp.float32)
