@@ -20,16 +20,35 @@ from .params import LIMBS, LimbParams, get_limb_params          # noqa: E402
 from .ring import Ring, RingContext, get_context, ring_from_modulus  # noqa: E402
 from .poly import (                                              # noqa: E402
     Poly,
+    PolyP,
+    add,
     compute_shoup,
     gaussian,
     hwt_dist,
+    mul,
     non_uniform,
     shoup,
+    sub,
     uniform,
     ZO_dist,
 )
+from .crt import mpz2poly, poly2mpz, set_mpz                     # noqa: E402
+
+# type-alias parity (reference poly.hpp:336-337, poly_p.hpp:208-209): ring
+# configs play the role of the reference's compile-time poly types
+poly_from_modulus = ring_from_modulus
+poly_p_from_modulus = ring_from_modulus
 
 __all__ = [
+    "PolyP",
+    "add",
+    "sub",
+    "mul",
+    "mpz2poly",
+    "poly2mpz",
+    "set_mpz",
+    "poly_from_modulus",
+    "poly_p_from_modulus",
     "LIMBS",
     "LimbParams",
     "get_limb_params",

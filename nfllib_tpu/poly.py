@@ -154,6 +154,15 @@ class Poly:
     def get_modulus(self, cm: int) -> int:
         return int(self.ring.moduli[cm])
 
+    def __call__(self, cm: int, i: int) -> int:
+        """Residue accessor `p(cm, i)` (reference poly.hpp:156-158)."""
+        return int(self.data[..., cm, i])
+
+    def __iter__(self):
+        """Iterate residues in storage order (reference begin()/end():
+        moduli-major over the flat array)."""
+        return iter(np.asarray(self.data).reshape(-1).tolist())
+
     def __bool__(self):
         # reference operator bool: any nonzero coefficient (core.hpp:39-43)
         return bool(jnp.any(self.data != 0))
@@ -352,3 +361,16 @@ def shoup(expr, prec: Poly) -> Poly:
 
 def compute_shoup(x) -> Poly:
     return _as_poly(x).compute_shoup()
+
+
+# free functions (reference poly.hpp:314-332 nfl::add/sub/mul)
+def add(a, b) -> Poly:
+    return _as_poly(a) + b
+
+
+def sub(a, b) -> Poly:
+    return _as_poly(a) - b
+
+
+def mul(a, b) -> Poly:
+    return _as_poly(a).mulmod(b)

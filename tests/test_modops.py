@@ -137,3 +137,22 @@ def test_from_coeffs_set_semantics():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         nfl.Poly.from_coeffs(ring, list(range(9)))  # > degree, != m*n
+
+
+def test_free_functions_and_accessors(rng):
+    """API parity: nfl.add/sub/mul free functions (reference poly.hpp:314-332),
+    (cm,i) accessor and storage-order iteration (poly.hpp:156-158)."""
+    import nfllib_tpu as nfl
+    from conftest import make_ring, rand_residues
+    import numpy as np
+
+    ring = make_ring(64, 60, "u32")
+    a = nfl.Poly(rand_residues(ring, rng), ring)
+    b = nfl.Poly(rand_residues(ring, rng), ring)
+    assert nfl.add(a, b) == a + b
+    assert nfl.sub(a, b) == a - b
+    assert nfl.mul(a, b) == a.mulmod(b)
+    arr = np.asarray(a.data)
+    assert a(1, 3) == int(arr[1, 3])
+    assert list(a)[:64] == arr[0].tolist()
+    assert nfl.poly_from_modulus is nfl.ring_from_modulus
