@@ -120,3 +120,53 @@ def run_zero_sum_check(ring: Ring, repetitions: int = 10,
         resa, resb = encrypt(keys, ring, stream, g_prng)
         total = total + decrypt(keys, ring, resa, resb).astype(jnp.int64)
     return bool(jnp.all(total == 0))
+
+
+# ---------------------------------------------------------------------------
+# fully on-device pipeline: sampling fuses into the encrypt graph
+# ---------------------------------------------------------------------------
+
+def _encrypt_on_device_graph(ctx, g_prng, key: bytes, nonce: int, pka, pkb):
+    """Noise sampling (device Salsa20 + fixed-consumption Gaussian) and the
+    encrypt chain in ONE jittable graph — zero host transfers per message.
+
+    Uses three nonces (u, e1, e2) starting at `nonce`."""
+    from ..prng.device_sampling import device_gaussian
+    from ..prng.sampling import gaussian as gaussian_mode
+
+    ring = ctx.ring
+    u = device_gaussian(ring, key, nonce, gaussian_mode(g_prng))
+    e1 = device_gaussian(ring, key, nonce + 1, gaussian_mode(g_prng, 2))
+    e2 = device_gaussian(ring, key, nonce + 2, gaussian_mode(g_prng, 2))
+    return _encrypt_graph(ctx, pka, pkb, u, e1, e2)
+
+
+def encrypt_on_device(keys: LweKeys, ring: Ring, key: bytes, nonce: int,
+                      g_prng: FastGaussianNoise):
+    """Encrypt a zero with all randomness generated on the accelerator.
+
+    Distribution-equal to encrypt() (the device Gaussian is the
+    fixed-consumption formulation; see prng/device_sampling.py)."""
+    register_gaussian(g_prng)
+    enc = _jitted_ondevice(ring, id(g_prng), key)
+    resa, resb = enc(keys.pka.data, keys.pkb.data, nonce)
+    return Poly(resa, ring), Poly(resb, ring)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_ondevice(ring: Ring, g_id: int, key: bytes):
+    ctx = ring.context()
+    g_prng = _GPRNG_BY_ID[g_id]
+
+    def graph(pka, pkb, nonce):
+        return _encrypt_on_device_graph(ctx, g_prng, key, nonce, pka, pkb)
+
+    return jax.jit(graph)
+
+
+_GPRNG_BY_ID = {}
+
+
+def register_gaussian(g_prng) -> int:
+    _GPRNG_BY_ID[id(g_prng)] = g_prng
+    return id(g_prng)

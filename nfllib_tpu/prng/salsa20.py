@@ -127,17 +127,23 @@ class Salsa20Stream:
         return np.frombuffer(buf, dtype=np.dtype(dtype).newbyteorder("<")).astype(dtype)
 
 
-def device_stream_words(key: bytes, nonce: int, nblocks: int):
+def device_stream_words(key: bytes, nonce, nblocks: int):
     """On-device keystream: [nblocks, 16] uint32 words under jit.
 
     The byte stream equals words.astype('<u4').tobytes() — identical to the
-    host/native tiers for the same (key, nonce).
+    host/native tiers for the same (key, nonce).  `nonce` may be a python int
+    or a traced integer scalar (so nonces can vary without recompilation).
     """
     import jax.numpy as jnp
 
     kw = jnp.asarray(np.frombuffer(key, dtype="<u4").astype(np.uint32))
-    nw = jnp.asarray(
-        np.frombuffer(int(nonce).to_bytes(8, "little"), dtype="<u4")
-        .astype(np.uint32))
+    if isinstance(nonce, int):
+        nw = jnp.asarray(
+            np.frombuffer(int(nonce).to_bytes(8, "little"), dtype="<u4")
+            .astype(np.uint32))
+    else:
+        n64 = nonce.astype(jnp.uint64)
+        nw = jnp.stack([(n64 & 0xFFFFFFFF).astype(jnp.uint32),
+                        (n64 >> 32).astype(jnp.uint32)])
     counters = jnp.arange(nblocks, dtype=jnp.uint64)
     return salsa20_block_words(kw, nw, counters, xp=jnp)

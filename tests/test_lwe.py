@@ -24,3 +24,19 @@ def test_lwe_zero_sum(degree, agg, limb):
 def test_lwe_zero_sum_slow(degree, agg, limb):
     ring = make_ring(degree, agg, limb)
     assert lwe.run_zero_sum_check(ring, repetitions=3, key=b"\x22" * 32)
+
+
+def test_encrypt_on_device_decrypts_to_zero():
+    """Fully on-device pipeline (device Salsa20 + fixed-consumption Gaussian
+    fused into the encrypt graph): decryptions must still be exact zeros."""
+    import jax.numpy as jnp
+    ring = make_ring(256, 60, "u32")
+    stream = lwe.Salsa20Stream(b"\x31" * 32)
+    g = lwe.make_gaussian_prng()
+    keys = lwe.keygen(ring, stream, g)
+    total = jnp.zeros(ring.shape, dtype=jnp.int64)
+    for i in range(3):
+        resa, resb = lwe.encrypt_on_device(keys, ring, b"\x32" * 32,
+                                           100 + 3 * i, g)
+        total = total + lwe.decrypt(keys, ring, resa, resb).astype(jnp.int64)
+    assert bool(jnp.all(total == 0))
