@@ -128,3 +128,22 @@ def test_rns_batch_sharded_ntt(rng):
         out = np.asarray(fn(xd))
     want = np.asarray(ntt_jnp.ntt_pow_phi(jnp.asarray(x), ctx))
     np.testing.assert_array_equal(out, want)
+
+
+def test_mesh_api_shard_poly(rng):
+    """parallel.api conveniences: mesh factoring, poly sharding placement,
+    and a zero-comm batch+rns sharded op pipeline."""
+    from nfllib_tpu.parallel import api
+    import nfllib_tpu as nfl
+
+    mesh = api.make_mesh(devices=jax.devices("cpu")[:8])
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "batch": 2, "rns": 2, "deg": 2}
+    ring = make_ring(256, 120, "u32")     # 4 channels
+    x = rand_residues(ring, rng, batch=(4,))
+    p = nfl.Poly(jnp.asarray(x), ring)
+    ps = api.shard_poly(p, mesh)
+    assert ps == p
+    q = (ps + ps).ntt_pow_phi()
+    want = (p + p).ntt_pow_phi()
+    assert q == want
