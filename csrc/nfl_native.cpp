@@ -228,3 +228,108 @@ void nfl_mpz2poly(const uint64_t *coeffs, uint64_t m, uint64_t n, uint64_t W,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Discrete Gaussian host sampler — native tier of prng/gaussian.py.
+//
+// Exact port of the stream-consumption walk (itself reproducing the
+// reference's FastGaussianNoise::getNoise, FastGaussianNoise.hpp:478-595):
+// two-level uint8 lookup, full-precision barrier compare on flagged entries,
+// buffer regeneration when nearly exhausted.  Byte-exact vs the python walk
+// for the same stream state (differentially tested).
+//
+// Second-level tables arrive flattened: flagged first-words w0 map via
+// lu1_map[w0] -> f into val2/flag2[f][lu_size]; barrier index lists are the
+// contiguous ranges [bars_first, bars_first + bars_count).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void nfl_gaussian_noise(
+    uint8_t state40[40],
+    int64_t *out, uint64_t rlen,
+    // geometry
+    uint64_t word_precision, uint64_t in_bytes /*1 or 2*/,
+    uint64_t innoise_words,
+    // level 1
+    const int64_t *lu_val, const uint8_t *lu_flag, const int32_t *lu1_map,
+    const int32_t *bars1_first, const int32_t *bars1_count,
+    // level 2 (lu_depth==2; nf tables of lu_size entries)
+    const int64_t *val2, const uint8_t *flag2,
+    const int32_t *bars2_first, const int32_t *bars2_count,
+    // barriers
+    const uint16_t *barrier_words, uint64_t lu_depth, uint64_t lu_size) {
+  const uint64_t wp = word_precision;
+  uint64_t buf_bytes = innoise_words * in_bytes;
+  uint8_t *noise = new uint8_t[buf_bytes];
+
+  auto word_at = [&](uint64_t idx) -> uint64_t {
+    if (in_bytes == 1) return noise[idx];
+    uint16_t v;
+    std::memcpy(&v, noise + 2 * idx, 2);  // little-endian host
+    return v;
+  };
+
+  nfl_fastrandombytes(state40, noise, buf_bytes);
+  uint64_t pos = 0, used = 0, computed = 0;
+
+  auto cmp_barrier = [&](int32_t b_idx, uint64_t at) -> int {
+    const uint16_t *bw = barrier_words + (uint64_t)b_idx * wp;
+    for (uint64_t j = 0; j < wp; ++j) {
+      uint64_t nj = word_at(at + j);
+      if (bw[j] > nj) return 1;
+      if (bw[j] < nj) return -1;
+    }
+    return 0;
+  };
+
+  while (computed < rlen) {
+    uint64_t w0 = word_at(pos);
+    int64_t output;
+    if (lu_flag[w0]) {
+      if (lu_depth == 1) {
+        output = lu_val[w0];
+        int32_t first = bars1_first[w0], cnt = bars1_count[w0];
+        for (int32_t k = 0; k < cnt; ++k) {
+          if (cmp_barrier(first + k, pos) == 1) break;
+          ++output;
+        }
+        pos += wp - 1;
+        used += wp - 1;
+      } else {
+        uint64_t w1 = word_at(pos + 1);
+        int32_t f = lu1_map[w0];
+        const int64_t *v2 = val2 + (uint64_t)f * lu_size;
+        const uint8_t *f2 = flag2 + (uint64_t)f * lu_size;
+        if (f2[w1]) {
+          output = v2[w1];
+          int32_t first = bars2_first[(uint64_t)f * lu_size + w1];
+          int32_t cnt = bars2_count[(uint64_t)f * lu_size + w1];
+          for (int32_t k = 0; k < cnt; ++k) {
+            if (cmp_barrier(first + k, pos) == 1) break;
+            ++output;
+          }
+          pos += wp - 2;
+          used += wp - 2;
+        } else {
+          output = v2[w1];
+        }
+        pos += 1;
+        used += 1;
+      }
+    } else {
+      output = lu_val[w0];
+    }
+    pos += 1;
+    used += 1;
+    out[computed++] = output;
+    if (used + wp >= innoise_words) {
+      nfl_fastrandombytes(state40, noise, buf_bytes);
+      pos = 0;
+      used = 0;
+    }
+  }
+  delete[] noise;
+}
+
+}  // extern "C"

@@ -173,3 +173,79 @@ def mpz2poly_native(values, ring) -> np.ndarray:
     lib.nfl_mpz2poly(coeffs.ctypes.data, m, n, W, mod.ctypes.data,
                      out.ctypes.data)
     return out.astype(ring.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Discrete Gaussian walk (native tier of prng/gaussian.py)
+# ---------------------------------------------------------------------------
+
+def _setup_gaussian(lib):
+    if getattr(lib, "_gauss_ready", False):
+        return
+    lib.nfl_gaussian_noise.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64,
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64]
+    lib._gauss_ready = True
+
+
+def flatten_gaussian_tables(fg):
+    """Flatten a FastGaussianNoise's lookup structures for the C walk."""
+    size = fg._lu_size
+    lu_val = np.ascontiguousarray(fg.lu_val.astype(np.int64))
+    lu_flag = np.ascontiguousarray(fg.lu_flag.astype(np.uint8))
+    lu1_map = np.full(size, -1, dtype=np.int32)
+    bars1_first = np.zeros(size, dtype=np.int32)
+    bars1_count = np.zeros(size, dtype=np.int32)
+    if fg.lu_depth == 1:
+        for w0, lst in enumerate(fg.lu_barriers):
+            if lst:
+                bars1_first[w0] = lst[0]
+                bars1_count[w0] = len(lst)
+        val2 = np.zeros((1, size), dtype=np.int64)
+        flag2 = np.zeros((1, size), dtype=np.uint8)
+        bars2_first = np.zeros((1, size), dtype=np.int32)
+        bars2_count = np.zeros((1, size), dtype=np.int32)
+    else:
+        keys = sorted(fg.lu2.keys())
+        nf = max(1, len(keys))
+        val2 = np.zeros((nf, size), dtype=np.int64)
+        flag2 = np.zeros((nf, size), dtype=np.uint8)
+        bars2_first = np.zeros((nf, size), dtype=np.int32)
+        bars2_count = np.zeros((nf, size), dtype=np.int32)
+        for f, w0 in enumerate(keys):
+            lu1_map[w0] = f
+            v2, fl2, b2 = fg.lu2[w0]
+            val2[f] = v2.astype(np.int64)
+            flag2[f] = fl2.astype(np.uint8)
+            for w1, lst in b2.items():
+                bars2_first[f, w1] = lst[0]
+                bars2_count[f, w1] = len(lst)
+    bw = np.ascontiguousarray(fg.barrier_words.astype(np.uint16))
+    return dict(lu_val=lu_val, lu_flag=lu_flag, lu1_map=lu1_map,
+                bars1_first=bars1_first, bars1_count=bars1_count,
+                val2=val2, flag2=flag2, bars2_first=bars2_first,
+                bars2_count=bars2_count, barrier_words=bw)
+
+
+def gaussian_noise(fg, tables: dict, state: np.ndarray,
+                   rlen: int) -> np.ndarray:
+    """Run the native walk; mutates `state` exactly like the python walk."""
+    lib = get_lib()
+    _setup_gaussian(lib)
+    innoise_words = int(np.float32(rlen) * np.float32(fg.innoise_multiplier))
+    out = np.empty(rlen, dtype=np.int64)
+    t = tables
+    lib.nfl_gaussian_noise(
+        state.ctypes.data, out.ctypes.data, rlen,
+        fg.word_precision, fg.in_bits // 8, innoise_words,
+        t["lu_val"].ctypes.data, t["lu_flag"].ctypes.data,
+        t["lu1_map"].ctypes.data, t["bars1_first"].ctypes.data,
+        t["bars1_count"].ctypes.data,
+        t["val2"].ctypes.data, t["flag2"].ctypes.data,
+        t["bars2_first"].ctypes.data, t["bars2_count"].ctypes.data,
+        t["barrier_words"].ctypes.data, fg.lu_depth, fg._lu_size)
+    return out

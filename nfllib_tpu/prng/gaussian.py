@@ -198,6 +198,18 @@ class FastGaussianNoise:
 
     # -- host sampling: exact stream-consumption emulation (:478-595) --------
     def get_noise(self, stream: Salsa20Stream, rlen: int) -> np.ndarray:
+        from .. import native
+        if native.available():
+            if not hasattr(self, "_native_tables"):
+                self._native_tables = native.flatten_gaussian_tables(self)
+            state = native.make_state(stream.key, stream.nonce)
+            out = native.gaussian_noise(self, self._native_tables, state,
+                                        rlen)
+            stream.nonce = native.state_nonce(state)
+            return out
+        return self._get_noise_py(stream, rlen)
+
+    def _get_noise_py(self, stream: Salsa20Stream, rlen: int) -> np.ndarray:
         wp = self.word_precision
         innoise_words = int(np.float32(rlen) * np.float32(self.innoise_multiplier))
         word_dtype = np.uint8 if self.in_bits == 8 else np.dtype("<u2")

@@ -70,6 +70,15 @@ class gaussian:
 
 def sample_uniform(ring: Ring, stream: Salsa20Stream) -> np.ndarray:
     lp = ring.limb_params
+    if getattr(stream, "_native", None) is not None:
+        # native one-call path (csrc nfl_uniform_*): same stream consumption
+        # and mask-subtract semantics, nonce bumped exactly once
+        native = stream._native
+        state = native.make_state(stream.key, stream.nonce)
+        data = native.uniform(state, np.array(ring.moduli, dtype=lp.dtype),
+                              ring.degree, lp.modulus_bits)
+        stream.nonce = native.state_nonce(state)
+        return data
     words = stream.random_words(ring.nmoduli * ring.degree, lp.dtype)
     data = words.reshape(ring.nmoduli, ring.degree).copy()
     mask = lp.dtype((1 << lp.modulus_bits) - 1)

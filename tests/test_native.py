@@ -91,3 +91,17 @@ def test_native_crt_matches_python():
         # mpz2poly roundtrip
         back = native.mpz2poly_native(got, ring)
         np.testing.assert_array_equal(back, arr)
+
+
+def test_native_gaussian_walk_matches_python():
+    """The C walk must replicate the python walk byte-for-byte: same values
+    AND same stream consumption (nonce advancement)."""
+    from nfllib_tpu.prng.gaussian import FastGaussianNoise
+    fg = FastGaussianNoise(3.2, 100, 1 << 8)
+    for key in (b"\x11" * 32, b"\xEE" * 32):
+        s1 = salsa20.Salsa20Stream(key)
+        s2 = salsa20.Salsa20Stream(key)
+        a = fg.get_noise(s1, 10000)          # native path
+        b = fg._get_noise_py(s2, 10000)      # python walk
+        np.testing.assert_array_equal(a, b)
+        assert s1.nonce == s2.nonce
