@@ -241,6 +241,30 @@ def _col_slice_for(fctx, axis_name):
     return idx
 
 
+@functools.lru_cache(maxsize=None)
+def _build_dist_fwd(ring: Ring, mesh: Mesh, n1: int, deg_axis: str,
+                    ndim: int):
+    """Cached jitted forward transform (one compile per shape family)."""
+    n = ring.degree
+    d = mesh.shape[deg_axis]
+    n2 = n // n1
+    fctx = get_four_step_context(ring, n1, n2)
+
+    def local(xb):
+        # xb: [..., m, n1, n2/D] column shard
+        i = jax.lax.axis_index(deg_axis)
+        cols = jax.lax.dynamic_slice_in_dim(
+            jnp.arange(n2), i * (n2 // d), n2 // d)
+        # gather per-device column slices of the static tables
+        f = _ShardView(fctx, cols=cols)
+        return four_step_ntt_local(xb, f, col_slice=None, axis_name=deg_axis)
+
+    spec = P(*([None] * (ndim - 1) + [deg_axis]))
+    out_spec = P(*([None] * (ndim - 2) + [deg_axis, None]))
+    return jax.jit(shard_map(local, mesh=mesh, in_specs=(spec,),
+                             out_specs=out_spec, check_vma=False))
+
+
 def distributed_ntt_pow_phi(x, ring: Ring, mesh: Mesh, *, n1=None,
                             deg_axis: str = "deg"):
     """Forward negacyclic transform of [..., m, n] sharded over `deg_axis`.
@@ -255,22 +279,8 @@ def distributed_ntt_pow_phi(x, ring: Ring, mesh: Mesh, *, n1=None,
         n1 = 1 << (static_log2(n) // 2)
     n2 = n // n1
     assert n1 % d == 0 and n2 % d == 0, "factor sizes must split evenly"
-    fctx = get_four_step_context(ring, n1, n2)
-
-    def local(xb):
-        # xb: [..., m, n1, n2/D] column shard
-        i = jax.lax.axis_index(deg_axis)
-        cols = jax.lax.dynamic_slice_in_dim(
-            jnp.arange(n2), i * (n2 // d), n2 // d)
-        # gather per-device column slices of the static tables
-        f = _ShardView(fctx, cols=cols)
-        return four_step_ntt_local(xb, f, col_slice=None, axis_name=deg_axis)
-
     xr = x.reshape(x.shape[:-1] + (n1, n2))
-    spec = P(*([None] * (xr.ndim - 1) + [deg_axis]))
-    out_spec = P(*([None] * (xr.ndim - 2) + [deg_axis, None]))
-    fn = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=out_spec,
-                   check_vma=False)
+    fn = _build_dist_fwd(ring, mesh, n1, deg_axis, xr.ndim)
     return fn(xr)
 
 
@@ -299,14 +309,11 @@ class _ShardView:
             self.itwiddle_s = take(fctx.itwiddle_s, rows, 1)
 
 
-def distributed_invntt_pow_invphi(y, ring: Ring, mesh: Mesh, *, n1=None,
-                                  deg_axis: str = "deg"):
-    """Inverse of distributed_ntt_pow_phi: [..., m, n1(sharded), n2] four-step
-    layout -> coefficient tensor [..., m, n] sharded over the degree axis."""
+@functools.lru_cache(maxsize=None)
+def _build_dist_inv(ring: Ring, mesh: Mesh, n1: int, deg_axis: str,
+                    ndim: int):
     n = ring.degree
     d = mesh.shape[deg_axis]
-    if n1 is None:
-        n1 = 1 << (static_log2(n) // 2)
     n2 = n // n1
     fctx = get_four_step_context(ring, n1, n2)
     p3 = jnp.asarray(fctx.p_col)[..., None]
@@ -322,10 +329,20 @@ def distributed_invntt_pow_invphi(y, ring: Ring, mesh: Mesh, *, n1=None,
                                      axis_name=deg_axis)
         return _untwist(xb, f, None, p3)
 
-    spec = P(*([None] * (y.ndim - 2) + [deg_axis, None]))
-    out_spec = P(*([None] * (y.ndim - 2) + [None, deg_axis]))
-    fn = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=out_spec,
-                   check_vma=False)
+    spec = P(*([None] * (ndim - 2) + [deg_axis, None]))
+    out_spec = P(*([None] * (ndim - 2) + [None, deg_axis]))
+    return jax.jit(shard_map(local, mesh=mesh, in_specs=(spec,),
+                             out_specs=out_spec, check_vma=False))
+
+
+def distributed_invntt_pow_invphi(y, ring: Ring, mesh: Mesh, *, n1=None,
+                                  deg_axis: str = "deg"):
+    """Inverse of distributed_ntt_pow_phi: [..., m, n1(sharded), n2] four-step
+    layout -> coefficient tensor [..., m, n] sharded over the degree axis."""
+    n = ring.degree
+    if n1 is None:
+        n1 = 1 << (static_log2(n) // 2)
+    fn = _build_dist_inv(ring, mesh, n1, deg_axis, y.ndim)
     out = fn(y)
     return out.reshape(out.shape[:-2] + (n,))
 

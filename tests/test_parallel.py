@@ -79,7 +79,7 @@ def test_distributed_ntt_matches_single_device(ndev, rng):
 
 @pytest.mark.parametrize("ndev", [2, 8])
 def test_distributed_roundtrip(ndev, rng):
-    ring = make_ring(1024, 60, "u32")
+    ring = make_ring(256, 60, "u32")
     mesh = _mesh((ndev,), ("deg",))
     x = rand_residues(ring, rng)
     xd = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(None, "deg")))
