@@ -1,0 +1,86 @@
+"""NTT backend comparison — the reference's ntt_perfs harness
+(tests/ntt_perfs.cpp:140-179 compares the library kernel against Harvey's
+original) re-created as a backend shootout: jnp stage loop vs the Pallas
+butterfly kernel vs the MXU matmul path, all verified bit-identical first.
+
+Usage: python tools/ntt_perfs.py [--n N] [--m M] [--batch B]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import nfllib_tpu as nfl  # noqa: E402
+from nfllib_tpu.ops import ntt as ntt_jnp  # noqa: E402
+from nfllib_tpu.ops import ntt_mxu, ntt_pallas  # noqa: E402
+from nfllib_tpu.utils import static_log2  # noqa: E402
+
+
+def chain_time(fn, xd, K=33, reps=8):
+    def f(v, k):
+        return jax.lax.fori_loop(0, k, lambda i, vv: fn(vv), v)
+    jf = jax.jit(f)
+    _ = np.asarray(jf(xd, 1)[(0,) * xd.ndim])
+
+    def run(k):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            o = jf(xd, k)
+            _ = np.asarray(o[(0,) * xd.ndim])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (run(K + 1) - run(1)) / K
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1 << 14)
+    ap.add_argument("--m", type=int, default=17)
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args()
+
+    ring = nfl.Ring("u32", args.n, args.m)
+    ctx = ring.context()
+    rng = np.random.default_rng(7)
+    x = np.empty((args.batch, args.m, args.n), dtype=np.uint32)
+    for cm in range(args.m):
+        x[:, cm] = rng.integers(0, int(ring.moduli[cm]),
+                                size=(args.batch, args.n), dtype=np.uint32)
+    xd = jnp.asarray(x)
+    units = args.batch * args.m
+
+    import os
+    os.environ["NFL_TPU_NTT"] = "jnp"   # pin the jnp path for its entry
+    backends = {
+        "jnp-stages": lambda v: ntt_jnp.ntt_pow_phi(v, ctx),
+        "pallas-butterfly": lambda v: ntt_pallas.ntt_fwd(v, ctx,
+                                                         interpret=False),
+    }
+    if ntt_mxu.supports(ring):
+        backends["mxu-matmul"] = lambda v: ntt_mxu.ntt_pow_phi_mxu(v, ctx)
+
+    # bit-exactness gate first
+    base = np.asarray(backends["jnp-stages"](xd[:1]))
+    for name, fn in backends.items():
+        got = np.asarray(fn(xd[:1]))
+        status = "OK" if np.array_equal(base, got) else "MISMATCH"
+        print(f"{name:18s} exactness: {status}")
+
+    for name, fn in backends.items():
+        t = chain_time(fn, xd)
+        print(f"{name:18s} {t*1e6:9.1f} us/app   "
+              f"{units/t:12,.0f} channel-NTT/s")
+
+
+if __name__ == "__main__":
+    main()
