@@ -31,16 +31,30 @@ from . import modops
 
 
 def _use_pallas(ring) -> bool:
-    """Dispatch policy: the Pallas kernel on real TPUs (3.5x the fused-jnp
-    path at n=2^14), the jnp path elsewhere (tests, CPU, u64 tier).
-    NFL_TPU_NTT=jnp|pallas overrides."""
+    """Dispatch policy: Pallas kernels on real TPUs, the jnp path elsewhere
+    (tests, CPU, u64 tier).  NFL_TPU_NTT=jnp|pallas|mxu overrides."""
     mode = os.environ.get("NFL_TPU_NTT", "auto")
     if mode == "jnp":
         return False
     from . import ntt_pallas
     if not ntt_pallas.supports(ring):
         return False
-    if mode == "pallas":
+    if mode in ("pallas", "mxu"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _use_fused_mxu(ring) -> bool:
+    """The fused MXU matmul kernel is ~2x the VPU butterfly kernel for its
+    supported shapes (square u32 degrees <= 2^14) — prefer it for the
+    forward transform."""
+    mode = os.environ.get("NFL_TPU_NTT", "auto")
+    if mode in ("jnp", "pallas"):
+        return False
+    from . import ntt_mxu
+    if not ntt_mxu.supports_fused(ring):
+        return False
+    if mode == "mxu":
         return True
     return jax.default_backend() == "tpu"
 
@@ -133,6 +147,9 @@ def inv_ntt(x, ctx: RingContext):
 def ntt_pow_phi(x, ctx: RingContext):
     """Negacyclic forward transform: fused shoup(x * phi^i) pre-twist then NTT
     (reference core.hpp:594-600)."""
+    if _use_fused_mxu(ctx.ring):
+        from . import ntt_mxu
+        return ntt_mxu.ntt_pow_phi_fused(jnp.asarray(x), ctx)
     if _use_pallas(ctx.ring):
         from . import ntt_pallas
         return ntt_pallas.ntt_fwd(jnp.asarray(x), ctx, twist=True)

@@ -33,6 +33,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..utils import bitrev_indices, static_log2
 from . import modops
@@ -44,6 +46,12 @@ _LBITS = 8
 def supports(ring) -> bool:
     lg = static_log2(ring.degree)
     return ring.limb == "u32" and lg % 2 == 0 and ring.degree >= 4096
+
+
+def supports_fused(ring) -> bool:
+    """The fused int8 kernel additionally needs n1 <= 128 so the packed
+    limb-group sums stay under 2^31 (see _mod_matmul_fused)."""
+    return supports(ring) and ring.degree <= 16384
 
 
 _CTX_BY_ID = {}
@@ -183,3 +191,206 @@ def ntt_pow_phi_mxu(x, ctx):
     # 4. row DFT (contract over i2)
     o = _mod_matmul_right(f, w2dec, p3, pow2, pow2s)
     return o.reshape(batch + (m, n))
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas kernel: MXU matmuls + VPU recombination in VMEM
+# ---------------------------------------------------------------------------
+#
+# Key trick vs the jnp path above: for each 7-bit input limb b of X, the DFT
+# matrix is pre-scaled host-side as W^(b) = (2^(7b) * W) mod p, so
+#     W @ X = sum_b W^(b) @ X_b   (mod p)
+# and decomposing each W^(b) into five 7-bit limbs a gives
+#     sum_a 2^(7a) * [ sum_b W^(b)_a @ X_b ]  =  sum_a 2^(7a) * G_a.
+# The b-sum happens INSIDE the int8 MXU accumulation (25 dots, 5 groups), and
+# the recombination collapses to three Shoup terms with power-of-two
+# multipliers (1, 2^14, 2^28 — all < p, so the products are shifts):
+#     Y = U0 + 2^14 U1 + 2^28 G4,  U0 = G0 + 2^7 G1,  U1 = G2 + 2^7 G3
+# with every quantity < 2^31 (G_a <= 5 * 127^2 * n1 <= 2^23.4 for n1 <= 128).
+# Everything stays in VMEM; the 25x table blow-up streams once per channel
+# and is reused across the whole batch (grid is channel-major).
+
+_DIG = 5          # 7-bit limbs per 30-bit value
+_DBITS = 7
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_tables(ctx_id):
+    ctx = _CTX_BY_ID[ctx_id]
+    ring = ctx.ring
+    n, m = ring.degree, ring.nmoduli
+    half = static_log2(n) // 2
+    n1 = 1 << half
+    n2 = n // n1
+    rev = bitrev_indices(n1)
+
+    w1l = np.empty((m, _DIG * _DIG, n1, n1), dtype=np.int8)
+    w2l = np.empty((m, _DIG * _DIG, n2, n2), dtype=np.int8)
+    tw = np.empty((m, n1, n2), dtype=np.uint32)
+    tws = np.empty((m, n1, n2), dtype=np.uint32)
+    shoup1 = np.empty((m, 3), dtype=np.uint32)   # shoup consts for 1,2^14,2^28
+
+    for cm in range(m):
+        p = int(ring.moduli[cm])
+        w = ctx.omega_int[cm]
+        wc, wr = pow(w, n2, p), pow(w, n1, p)
+        e1 = np.array([[pow(wc, int(rev[r]) * i1, p) for i1 in range(n1)]
+                       for r in range(n1)], dtype=np.uint64)
+        e2 = np.array([[pow(wr, i2 * int(rev[c]), p) for c in range(n2)]
+                       for i2 in range(n2)], dtype=np.uint64)
+        t = np.array([[pow(w, int(rev[r]) * i2, p) for i2 in range(n2)]
+                      for r in range(n1)], dtype=np.uint64)
+        tw[cm] = t
+        tws[cm] = ((t.astype(object) << 32) // p).astype(np.uint64)
+        for b in range(_DIG):
+            s1 = (e1 * pow(2, _DBITS * b, p)) % p
+            s2 = (e2 * pow(2, _DBITS * b, p)) % p
+            for a in range(_DIG):
+                w1l[cm, _DIG * a + b] = ((s1 >> (_DBITS * a))
+                                         & 127).astype(np.int8)
+                w2l[cm, _DIG * a + b] = ((s2 >> (_DBITS * a))
+                                         & 127).astype(np.int8)
+        for j, c in enumerate((1, 1 << 14, 1 << 28)):
+            shoup1[cm, j] = ((c % p) << 32) // p
+
+    phis = ctx.phis.reshape(m, n1, n2).astype(np.uint32)
+    sphis = ctx.shoupphis.reshape(m, n1, n2).astype(np.uint32)
+    p_vec = ctx.p.reshape(m, 1, 1).astype(np.uint32)
+    return n1, n2, w1l, w2l, tw, tws, phis, sphis, shoup1, p_vec
+
+
+def _digitize_i8(x):
+    """u32 [r, c] -> list of five int8 [r, c] 7-bit limbs."""
+    return [((x >> (_DBITS * b)) & jnp.uint32(127)).astype(jnp.int32)
+            .astype(jnp.int8) for b in range(_DIG)]
+
+
+def _mod_matmul_fused(xlimbs, w_ref, p, s1, s14, s28, left):
+    """sum_b W^(b) @ X_b mod p via 25 int8 MXU dots + 3-term recombination.
+
+    xlimbs: five int8 [r, k] (or [k, c] for right-multiplication);
+    w_ref: [25, k, k] int8 table block (limb a major).  Returns u32 < p.
+    """
+    groups = []
+    for a in range(_DIG):
+        acc = None
+        for b in range(_DIG):
+            wa = w_ref[_DIG * a + b]
+            if left:
+                s = jax.lax.dot_general(
+                    wa, xlimbs[b], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+            else:
+                s = jax.lax.dot_general(
+                    xlimbs[b], wa, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+            acc = s if acc is None else acc + s
+        groups.append(acc.astype(jnp.uint32))
+    u0 = groups[0] + (groups[1] << 7)
+    u1 = groups[2] + (groups[3] << 7)
+    u2 = groups[4]
+    # Shoup-reduce each term: q = hi(u * s_c); r = (u << shift) - q*p < 2p
+    r0 = u0 - modops._mulhi_u32(u0, s1) * p
+    r1 = (u1 << 14) - modops._mulhi_u32(u1, s14) * p
+    r2 = (u2 << 28) - modops._mulhi_u32(u2, s28) * p
+    two_p = p + p
+    t = r0 + r1
+    t = t - jnp.where(t >= two_p, two_p, jnp.zeros_like(t))
+    t = t + r2
+    t = t - jnp.where(t >= two_p, two_p, jnp.zeros_like(t))
+    return t - jnp.where(t >= p, p, jnp.zeros_like(t))
+
+
+def _fused_kernel(x_ref, w1_ref, w2_ref, tw_ref, tws_ref, phi_ref, sphi_ref,
+                  sh_ref, p_ref, o_ref):
+    p = p_ref[0, 0, 0]
+    s1 = sh_ref[0, 0, 0]
+    s14 = sh_ref[0, 0, 1]
+    s28 = sh_ref[0, 0, 2]
+    x = x_ref[0, 0]                      # [n1, n2] u32 < p
+
+    # phi pre-twist (canonical)
+    q = modops._mulhi_u32(x, sphi_ref[0])
+    x = x * phi_ref[0] - q * p
+    x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
+
+    # column DFT
+    x = _mod_matmul_fused(_digitize_i8(x), w1_ref[0], p, s1, s14, s28,
+                          left=True)
+    # twiddle (canonical)
+    q = modops._mulhi_u32(x, tws_ref[0])
+    x = x * tw_ref[0] - q * p
+    x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
+    # row DFT
+    x = _mod_matmul_fused(_digitize_i8(x), w2_ref[0], p, s1, s14, s28,
+                          left=False)
+    o_ref[0, 0] = x
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fused(ctx_id, interpret):
+    ctx = _CTX_BY_ID[ctx_id]
+    ring = ctx.ring
+    m = ring.nmoduli
+    n1, n2, w1l, w2l, tw, tws, phis, sphis, shoup1, p_vec = \
+        _fused_tables(ctx_id)
+    _i0 = np.int32(0)
+
+    def call(xb):
+        """xb: [B, m, n1, n2] -> same shape."""
+        B = xb.shape[0]
+        return pl.pallas_call(
+            _fused_kernel,
+            grid=(m, B),          # batch innermost: tables stay resident
+            in_specs=[
+                pl.BlockSpec((1, 1, n1, n2), lambda c, b: (b, c, _i0, _i0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _DIG * _DIG, n1, n1),
+                             lambda c, b: (c, _i0, _i0, _i0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _DIG * _DIG, n2, n2),
+                             lambda c, b: (c, _i0, _i0, _i0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n1, n2), lambda c, b: (c, _i0, _i0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n1, n2), lambda c, b: (c, _i0, _i0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n1, n2), lambda c, b: (c, _i0, _i0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n1, n2), lambda c, b: (c, _i0, _i0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 3), lambda c, b: (c, _i0, _i0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1), lambda c, b: (c, _i0, _i0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, n1, n2),
+                                   lambda c, b: (b, c, _i0, _i0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(xb.shape, jnp.uint32),
+            interpret=interpret,
+        )(xb, jnp.asarray(w1l), jnp.asarray(w2l), jnp.asarray(tw),
+          jnp.asarray(tws), jnp.asarray(phis), jnp.asarray(sphis),
+          jnp.asarray(shoup1.reshape(m, 1, 3)),
+          jnp.asarray(p_vec))
+
+    return call
+
+
+def ntt_pow_phi_fused(x, ctx, *, interpret=None):
+    """Forward negacyclic transform via the fused MXU Pallas kernel;
+    bit-identical to ops/ntt.py ntt_pow_phi.  u32, square degrees only."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ctx_id = _register_ctx(ctx)
+    ring = ctx.ring
+    m, n = ring.nmoduli, ring.degree
+    half = static_log2(n) // 2
+    n1 = 1 << half
+    n2 = n // n1
+    x = jnp.asarray(x)
+    batch = x.shape[:-2]
+    xb = x.reshape((-1, m, n1, n2))
+    call = _build_fused(ctx_id, bool(interpret))
+    out = call(xb)
+    return out.reshape(batch + (m, n))

@@ -25,3 +25,13 @@ def test_matches_jnp(degree, agg, limb, rng):
     want = np.asarray(ntt_jnp.ntt_pow_phi(x, ctx))
     got = np.asarray(ntt_mxu.ntt_pow_phi_mxu(x, ctx))
     np.testing.assert_array_equal(want, got)
+
+
+@pytest.mark.parametrize("degree,agg,limb", [(4096, 60, "u32")])
+def test_fused_kernel_matches_jnp(degree, agg, limb, rng):
+    ring = nfl.ring_from_modulus(limb, degree, agg)
+    ctx = ring.context()
+    x = rand_residues(ring, rng, batch=(2,))
+    want = np.asarray(ntt_jnp.ntt_pow_phi(x, ctx))
+    got = np.asarray(ntt_mxu.ntt_pow_phi_fused(x, ctx, interpret=True))
+    np.testing.assert_array_equal(want, got)
