@@ -163,6 +163,9 @@ def ntt_pow_phi(x, ctx: RingContext):
 def invntt_pow_invphi(x, ctx: RingContext):
     """Inverse transform with fused n^-1 * phi^-i un-twist
     (reference core.hpp:608-614)."""
+    if _use_fused_mxu(ctx.ring):
+        from . import ntt_mxu
+        return ntt_mxu.invntt_pow_invphi_fused(jnp.asarray(x), ctx)
     if _use_pallas(ctx.ring):
         from . import ntt_pallas
         return ntt_pallas.intt_bwd(jnp.asarray(x), ctx, untwist=True)

@@ -394,3 +394,154 @@ def ntt_pow_phi_fused(x, ctx, *, interpret=None):
     call = _build_fused(ctx_id, bool(interpret))
     out = call(xb)
     return out.reshape(batch + (m, n))
+
+
+# ---------------------------------------------------------------------------
+# Fused inverse: X = Untwist( W1inv @ ( Tinv * ( O @ W2inv ) ) )
+# ---------------------------------------------------------------------------
+#
+# Raw inverse DFT matrices (no 1/n factors — the n1*n2 product is cancelled
+# by the n^-1 inside invpoly_times_invphis, reference core.hpp:608-614):
+#   W2inv[c, i2] = wr^(-rev(c) * i2)     (right-multiply first)
+#   Tinv[r, i2]  = w^(-rev(r) * i2)      (elementwise)
+#   W1inv[i1, r] = wc^(-i1 * rev(r))     (left-multiply)
+# then the fused n^-1 * phi^-i untwist.  Bit-identical to the reference
+# inverse (the canonical INTT result is unique).
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_inv_tables(ctx_id):
+    ctx = _CTX_BY_ID[ctx_id]
+    ring = ctx.ring
+    n, m = ring.degree, ring.nmoduli
+    half = static_log2(n) // 2
+    n1 = 1 << half
+    n2 = n // n1
+    rev = bitrev_indices(n1)
+
+    w1l = np.empty((m, _DIG * _DIG, n1, n1), dtype=np.int8)
+    w2l = np.empty((m, _DIG * _DIG, n2, n2), dtype=np.int8)
+    tw = np.empty((m, n1, n2), dtype=np.uint32)
+    tws = np.empty((m, n1, n2), dtype=np.uint32)
+    shoup1 = np.empty((m, 3), dtype=np.uint32)
+
+    for cm in range(m):
+        p = int(ring.moduli[cm])
+        w = ctx.omega_int[cm]
+        iw = pow(w, -1, p)
+        iwc, iwr = pow(iw, n2, p), pow(iw, n1, p)
+        e1 = np.array([[pow(iwc, i1 * int(rev[r]), p) for r in range(n1)]
+                       for i1 in range(n1)], dtype=np.uint64)     # W1inv
+        e2 = np.array([[pow(iwr, int(rev[c]) * i2, p) for i2 in range(n2)]
+                       for c in range(n2)], dtype=np.uint64)      # W2inv
+        t = np.array([[pow(iw, int(rev[r]) * i2, p) for i2 in range(n2)]
+                      for r in range(n1)], dtype=np.uint64)       # Tinv
+        tw[cm] = t
+        tws[cm] = ((t.astype(object) << 32) // p).astype(np.uint64)
+        for b in range(_DIG):
+            s1 = (e1 * pow(2, _DBITS * b, p)) % p
+            s2 = (e2 * pow(2, _DBITS * b, p)) % p
+            for a in range(_DIG):
+                w1l[cm, _DIG * a + b] = ((s1 >> (_DBITS * a))
+                                         & 127).astype(np.int8)
+                w2l[cm, _DIG * a + b] = ((s2 >> (_DBITS * a))
+                                         & 127).astype(np.int8)
+        for j, c in enumerate((1, 1 << 14, 1 << 28)):
+            shoup1[cm, j] = ((c % p) << 32) // p
+
+    ivp = ctx.invpoly_times_invphis.reshape(m, n1, n2).astype(np.uint32)
+    sivp = ctx.shoupinvpoly_times_invphis.reshape(m, n1, n2).astype(np.uint32)
+    p_vec = ctx.p.reshape(m, 1, 1).astype(np.uint32)
+    return n1, n2, w1l, w2l, tw, tws, ivp, sivp, shoup1, p_vec
+
+
+def _fused_inv_kernel(x_ref, w1_ref, w2_ref, tw_ref, tws_ref, ivp_ref,
+                      sivp_ref, sh_ref, p_ref, o_ref):
+    p = p_ref[0, 0, 0]
+    s1 = sh_ref[0, 0, 0]
+    s14 = sh_ref[0, 0, 1]
+    s28 = sh_ref[0, 0, 2]
+    x = x_ref[0, 0]                      # [n1, n2] u32 < p (Harvey order)
+
+    # row inverse DFT: right-multiply by W2inv
+    x = _mod_matmul_fused(_digitize_i8(x), w2_ref[0], p, s1, s14, s28,
+                          left=False)
+    # inverse twiddle
+    q = modops._mulhi_u32(x, tws_ref[0])
+    x = x * tw_ref[0] - q * p
+    x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
+    # column inverse DFT: left-multiply by W1inv
+    x = _mod_matmul_fused(_digitize_i8(x), w1_ref[0], p, s1, s14, s28,
+                          left=True)
+    # fused n^-1 * phi^-i untwist
+    q = modops._mulhi_u32(x, sivp_ref[0])
+    x = x * ivp_ref[0] - q * p
+    x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
+    o_ref[0, 0] = x
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fused_inv(ctx_id, interpret):
+    ctx = _CTX_BY_ID[ctx_id]
+    ring = ctx.ring
+    m = ring.nmoduli
+    n1, n2, w1l, w2l, tw, tws, ivp, sivp, shoup1, p_vec = \
+        _fused_inv_tables(ctx_id)
+    _i0 = np.int32(0)
+
+    def call(xb):
+        B = xb.shape[0]
+        return pl.pallas_call(
+            _fused_inv_kernel,
+            grid=(m, B),
+            in_specs=[
+                pl.BlockSpec((1, 1, n1, n2), lambda c, b: (b, c, _i0, _i0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _DIG * _DIG, n1, n1),
+                             lambda c, b: (c, _i0, _i0, _i0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _DIG * _DIG, n2, n2),
+                             lambda c, b: (c, _i0, _i0, _i0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n1, n2), lambda c, b: (c, _i0, _i0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n1, n2), lambda c, b: (c, _i0, _i0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n1, n2), lambda c, b: (c, _i0, _i0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n1, n2), lambda c, b: (c, _i0, _i0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 3), lambda c, b: (c, _i0, _i0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1), lambda c, b: (c, _i0, _i0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, n1, n2),
+                                   lambda c, b: (b, c, _i0, _i0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(xb.shape, jnp.uint32),
+            interpret=interpret,
+        )(xb, jnp.asarray(w1l), jnp.asarray(w2l), jnp.asarray(tw),
+          jnp.asarray(tws), jnp.asarray(ivp), jnp.asarray(sivp),
+          jnp.asarray(shoup1.reshape(m, 1, 3)), jnp.asarray(p_vec))
+
+    return call
+
+
+def invntt_pow_invphi_fused(x, ctx, *, interpret=None):
+    """Inverse negacyclic transform via the fused MXU Pallas kernel;
+    bit-identical to ops/ntt.py invntt_pow_invphi."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ctx_id = _register_ctx(ctx)
+    ring = ctx.ring
+    m, n = ring.nmoduli, ring.degree
+    half = static_log2(n) // 2
+    n1 = 1 << half
+    n2 = n // n1
+    x = jnp.asarray(x)
+    batch = x.shape[:-2]
+    xb = x.reshape((-1, m, n1, n2))
+    call = _build_fused_inv(ctx_id, bool(interpret))
+    out = call(xb)
+    return out.reshape(batch + (m, n))

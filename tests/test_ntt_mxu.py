@@ -35,3 +35,15 @@ def test_fused_kernel_matches_jnp(degree, agg, limb, rng):
     want = np.asarray(ntt_jnp.ntt_pow_phi(x, ctx))
     got = np.asarray(ntt_mxu.ntt_pow_phi_fused(x, ctx, interpret=True))
     np.testing.assert_array_equal(want, got)
+
+
+@pytest.mark.parametrize("degree,agg,limb", [(4096, 60, "u32")])
+def test_fused_inverse_matches_jnp(degree, agg, limb, rng):
+    ring = nfl.ring_from_modulus(limb, degree, agg)
+    ctx = ring.context()
+    x = rand_residues(ring, rng, batch=(2,))
+    f = np.asarray(ntt_jnp.ntt_pow_phi(x, ctx))
+    want = np.asarray(ntt_jnp.invntt_pow_invphi(f, ctx))
+    got = np.asarray(ntt_mxu.invntt_pow_invphi_fused(f, ctx, interpret=True))
+    np.testing.assert_array_equal(want, got)
+    np.testing.assert_array_equal(want, x)
