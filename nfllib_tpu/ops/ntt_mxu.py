@@ -49,9 +49,22 @@ def supports(ring) -> bool:
 
 
 def supports_fused(ring) -> bool:
-    """The fused int8 kernel additionally needs n1 <= 128 so the packed
-    limb-group sums stay under 2^31 (see _mod_matmul_fused)."""
-    return supports(ring) and ring.degree <= 16384
+    """The fused int8 kernel covers every u32 degree >= 4096 (rectangular
+    n1 x n2 decompositions for odd log2; 6-bit digits once a contraction
+    dimension exceeds 128 so the packed limb-group sums stay under 2^31)."""
+    return ring.limb == "u32" and ring.degree >= 4096
+
+
+def _fused_geometry(n):
+    """(n1, n2, dbits): split n = n1*n2 with n1 <= n2, and pick the digit
+    width: 5 x 7-bit when both contractions are <= 128 (groups
+    <= 5*127^2*128 < 2^23.4, packed pairs < 2^31), else 5 x 6-bit
+    (<= 5*63^2*256 < 2^22.3, packed < 2^29)."""
+    lg = static_log2(n)
+    n1 = 1 << (lg // 2)
+    n2 = n // n1
+    dbits = 7 if max(n1, n2) <= 128 else 6
+    return n1, n2, dbits
 
 
 _CTX_BY_ID = {}
@@ -210,8 +223,7 @@ def ntt_pow_phi_mxu(x, ctx):
 # Everything stays in VMEM; the 25x table blow-up streams once per channel
 # and is reused across the whole batch (grid is channel-major).
 
-_DIG = 5          # 7-bit limbs per 30-bit value
-_DBITS = 7
+_DIG = 5          # limbs per 30-bit value (7-bit or 6-bit digits; 5*6 = 30)
 
 
 @functools.lru_cache(maxsize=None)
@@ -219,10 +231,10 @@ def _fused_tables(ctx_id):
     ctx = _CTX_BY_ID[ctx_id]
     ring = ctx.ring
     n, m = ring.degree, ring.nmoduli
-    half = static_log2(n) // 2
-    n1 = 1 << half
-    n2 = n // n1
-    rev = bitrev_indices(n1)
+    n1, n2, dbits = _fused_geometry(n)
+    dmask = (1 << dbits) - 1
+    rev1 = bitrev_indices(n1)
+    rev2 = bitrev_indices(n2)
 
     w1l = np.empty((m, _DIG * _DIG, n1, n1), dtype=np.int8)
     w2l = np.empty((m, _DIG * _DIG, n2, n2), dtype=np.int8)
@@ -234,23 +246,24 @@ def _fused_tables(ctx_id):
         p = int(ring.moduli[cm])
         w = ctx.omega_int[cm]
         wc, wr = pow(w, n2, p), pow(w, n1, p)
-        e1 = np.array([[pow(wc, int(rev[r]) * i1, p) for i1 in range(n1)]
+        e1 = np.array([[pow(wc, int(rev1[r]) * i1, p) for i1 in range(n1)]
                        for r in range(n1)], dtype=np.uint64)
-        e2 = np.array([[pow(wr, i2 * int(rev[c]), p) for c in range(n2)]
+        e2 = np.array([[pow(wr, i2 * int(rev2[c]), p) for c in range(n2)]
                        for i2 in range(n2)], dtype=np.uint64)
-        t = np.array([[pow(w, int(rev[r]) * i2, p) for i2 in range(n2)]
+        t = np.array([[pow(w, int(rev1[r]) * i2, p) for i2 in range(n2)]
                       for r in range(n1)], dtype=np.uint64)
         tw[cm] = t
         tws[cm] = ((t.astype(object) << 32) // p).astype(np.uint64)
         for b in range(_DIG):
-            s1 = (e1 * pow(2, _DBITS * b, p)) % p
-            s2 = (e2 * pow(2, _DBITS * b, p)) % p
+            s1 = (e1 * pow(2, dbits * b, p)) % p
+            s2 = (e2 * pow(2, dbits * b, p)) % p
             for a in range(_DIG):
-                w1l[cm, _DIG * a + b] = ((s1 >> (_DBITS * a))
-                                         & 127).astype(np.int8)
-                w2l[cm, _DIG * a + b] = ((s2 >> (_DBITS * a))
-                                         & 127).astype(np.int8)
-        for j, c in enumerate((1, 1 << 14, 1 << 28)):
+                w1l[cm, _DIG * a + b] = ((s1 >> (dbits * a))
+                                         & dmask).astype(np.int8)
+                w2l[cm, _DIG * a + b] = ((s2 >> (dbits * a))
+                                         & dmask).astype(np.int8)
+        for j in range(3):
+            c = 1 << (2 * dbits * j)
             shoup1[cm, j] = ((c % p) << 32) // p
 
     phis = ctx.phis.reshape(m, n1, n2).astype(np.uint32)
@@ -259,13 +272,14 @@ def _fused_tables(ctx_id):
     return n1, n2, w1l, w2l, tw, tws, phis, sphis, shoup1, p_vec
 
 
-def _digitize_i8(x):
-    """u32 [r, c] -> list of five int8 [r, c] 7-bit limbs."""
-    return [((x >> (_DBITS * b)) & jnp.uint32(127)).astype(jnp.int32)
+def _digitize_i8(x, dbits):
+    """u32 [r, c] -> list of five int8 [r, c] digit limbs."""
+    dmask = jnp.uint32((1 << dbits) - 1)
+    return [((x >> (dbits * b)) & dmask).astype(jnp.int32)
             .astype(jnp.int8) for b in range(_DIG)]
 
 
-def _mod_matmul_fused(xlimbs, w_ref, p, s1, s14, s28, left):
+def _mod_matmul_fused(xlimbs, w_ref, p, s1, s14, s28, left, dbits):
     """sum_b W^(b) @ X_b mod p via 25 int8 MXU dots + 3-term recombination.
 
     xlimbs: five int8 [r, k] (or [k, c] for right-multiplication);
@@ -286,13 +300,13 @@ def _mod_matmul_fused(xlimbs, w_ref, p, s1, s14, s28, left):
                     preferred_element_type=jnp.int32)
             acc = s if acc is None else acc + s
         groups.append(acc.astype(jnp.uint32))
-    u0 = groups[0] + (groups[1] << 7)
-    u1 = groups[2] + (groups[3] << 7)
+    u0 = groups[0] + (groups[1] << dbits)
+    u1 = groups[2] + (groups[3] << dbits)
     u2 = groups[4]
     # Shoup-reduce each term: q = hi(u * s_c); r = (u << shift) - q*p < 2p
     r0 = u0 - modops._mulhi_u32(u0, s1) * p
-    r1 = (u1 << 14) - modops._mulhi_u32(u1, s14) * p
-    r2 = (u2 << 28) - modops._mulhi_u32(u2, s28) * p
+    r1 = (u1 << (2 * dbits)) - modops._mulhi_u32(u1, s14) * p
+    r2 = (u2 << (4 * dbits)) - modops._mulhi_u32(u2, s28) * p
     two_p = p + p
     t = r0 + r1
     t = t - jnp.where(t >= two_p, two_p, jnp.zeros_like(t))
@@ -301,8 +315,8 @@ def _mod_matmul_fused(xlimbs, w_ref, p, s1, s14, s28, left):
     return t - jnp.where(t >= p, p, jnp.zeros_like(t))
 
 
-def _fused_kernel(x_ref, w1_ref, w2_ref, tw_ref, tws_ref, phi_ref, sphi_ref,
-                  sh_ref, p_ref, o_ref):
+def _fused_kernel(dbits, x_ref, w1_ref, w2_ref, tw_ref, tws_ref, phi_ref,
+                  sphi_ref, sh_ref, p_ref, o_ref):
     p = p_ref[0, 0, 0]
     s1 = sh_ref[0, 0, 0]
     s14 = sh_ref[0, 0, 1]
@@ -315,15 +329,15 @@ def _fused_kernel(x_ref, w1_ref, w2_ref, tw_ref, tws_ref, phi_ref, sphi_ref,
     x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
 
     # column DFT
-    x = _mod_matmul_fused(_digitize_i8(x), w1_ref[0], p, s1, s14, s28,
-                          left=True)
+    x = _mod_matmul_fused(_digitize_i8(x, dbits), w1_ref[0], p, s1, s14, s28,
+                          left=True, dbits=dbits)
     # twiddle (canonical)
     q = modops._mulhi_u32(x, tws_ref[0])
     x = x * tw_ref[0] - q * p
     x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
     # row DFT
-    x = _mod_matmul_fused(_digitize_i8(x), w2_ref[0], p, s1, s14, s28,
-                          left=False)
+    x = _mod_matmul_fused(_digitize_i8(x, dbits), w2_ref[0], p, s1, s14, s28,
+                          left=False, dbits=dbits)
     o_ref[0, 0] = x
 
 
@@ -334,13 +348,14 @@ def _build_fused(ctx_id, interpret):
     m = ring.nmoduli
     n1, n2, w1l, w2l, tw, tws, phis, sphis, shoup1, p_vec = \
         _fused_tables(ctx_id)
+    dbits = _fused_geometry(ring.degree)[2]
     _i0 = np.int32(0)
 
     def call(xb):
         """xb: [B, m, n1, n2] -> same shape."""
         B = xb.shape[0]
         return pl.pallas_call(
-            _fused_kernel,
+            functools.partial(_fused_kernel, dbits),
             grid=(m, B),          # batch innermost: tables stay resident
             in_specs=[
                 pl.BlockSpec((1, 1, n1, n2), lambda c, b: (b, c, _i0, _i0),
@@ -385,9 +400,7 @@ def ntt_pow_phi_fused(x, ctx, *, interpret=None):
     ctx_id = _register_ctx(ctx)
     ring = ctx.ring
     m, n = ring.nmoduli, ring.degree
-    half = static_log2(n) // 2
-    n1 = 1 << half
-    n2 = n // n1
+    n1, n2, _ = _fused_geometry(n)
     x = jnp.asarray(x)
     batch = x.shape[:-2]
     xb = x.reshape((-1, m, n1, n2))
@@ -414,10 +427,10 @@ def _fused_inv_tables(ctx_id):
     ctx = _CTX_BY_ID[ctx_id]
     ring = ctx.ring
     n, m = ring.degree, ring.nmoduli
-    half = static_log2(n) // 2
-    n1 = 1 << half
-    n2 = n // n1
-    rev = bitrev_indices(n1)
+    n1, n2, dbits = _fused_geometry(n)
+    dmask = (1 << dbits) - 1
+    rev1 = bitrev_indices(n1)
+    rev2 = bitrev_indices(n2)
 
     w1l = np.empty((m, _DIG * _DIG, n1, n1), dtype=np.int8)
     w2l = np.empty((m, _DIG * _DIG, n2, n2), dtype=np.int8)
@@ -430,23 +443,24 @@ def _fused_inv_tables(ctx_id):
         w = ctx.omega_int[cm]
         iw = pow(w, -1, p)
         iwc, iwr = pow(iw, n2, p), pow(iw, n1, p)
-        e1 = np.array([[pow(iwc, i1 * int(rev[r]), p) for r in range(n1)]
+        e1 = np.array([[pow(iwc, i1 * int(rev1[r]), p) for r in range(n1)]
                        for i1 in range(n1)], dtype=np.uint64)     # W1inv
-        e2 = np.array([[pow(iwr, int(rev[c]) * i2, p) for i2 in range(n2)]
+        e2 = np.array([[pow(iwr, int(rev2[c]) * i2, p) for i2 in range(n2)]
                        for c in range(n2)], dtype=np.uint64)      # W2inv
-        t = np.array([[pow(iw, int(rev[r]) * i2, p) for i2 in range(n2)]
+        t = np.array([[pow(iw, int(rev1[r]) * i2, p) for i2 in range(n2)]
                       for r in range(n1)], dtype=np.uint64)       # Tinv
         tw[cm] = t
         tws[cm] = ((t.astype(object) << 32) // p).astype(np.uint64)
         for b in range(_DIG):
-            s1 = (e1 * pow(2, _DBITS * b, p)) % p
-            s2 = (e2 * pow(2, _DBITS * b, p)) % p
+            s1 = (e1 * pow(2, dbits * b, p)) % p
+            s2 = (e2 * pow(2, dbits * b, p)) % p
             for a in range(_DIG):
-                w1l[cm, _DIG * a + b] = ((s1 >> (_DBITS * a))
-                                         & 127).astype(np.int8)
-                w2l[cm, _DIG * a + b] = ((s2 >> (_DBITS * a))
-                                         & 127).astype(np.int8)
-        for j, c in enumerate((1, 1 << 14, 1 << 28)):
+                w1l[cm, _DIG * a + b] = ((s1 >> (dbits * a))
+                                         & dmask).astype(np.int8)
+                w2l[cm, _DIG * a + b] = ((s2 >> (dbits * a))
+                                         & dmask).astype(np.int8)
+        for j in range(3):
+            c = 1 << (2 * dbits * j)
             shoup1[cm, j] = ((c % p) << 32) // p
 
     ivp = ctx.invpoly_times_invphis.reshape(m, n1, n2).astype(np.uint32)
@@ -455,8 +469,8 @@ def _fused_inv_tables(ctx_id):
     return n1, n2, w1l, w2l, tw, tws, ivp, sivp, shoup1, p_vec
 
 
-def _fused_inv_kernel(x_ref, w1_ref, w2_ref, tw_ref, tws_ref, ivp_ref,
-                      sivp_ref, sh_ref, p_ref, o_ref):
+def _fused_inv_kernel(dbits, x_ref, w1_ref, w2_ref, tw_ref, tws_ref,
+                      ivp_ref, sivp_ref, sh_ref, p_ref, o_ref):
     p = p_ref[0, 0, 0]
     s1 = sh_ref[0, 0, 0]
     s14 = sh_ref[0, 0, 1]
@@ -464,15 +478,15 @@ def _fused_inv_kernel(x_ref, w1_ref, w2_ref, tw_ref, tws_ref, ivp_ref,
     x = x_ref[0, 0]                      # [n1, n2] u32 < p (Harvey order)
 
     # row inverse DFT: right-multiply by W2inv
-    x = _mod_matmul_fused(_digitize_i8(x), w2_ref[0], p, s1, s14, s28,
-                          left=False)
+    x = _mod_matmul_fused(_digitize_i8(x, dbits), w2_ref[0], p, s1, s14, s28,
+                          left=False, dbits=dbits)
     # inverse twiddle
     q = modops._mulhi_u32(x, tws_ref[0])
     x = x * tw_ref[0] - q * p
     x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
     # column inverse DFT: left-multiply by W1inv
-    x = _mod_matmul_fused(_digitize_i8(x), w1_ref[0], p, s1, s14, s28,
-                          left=True)
+    x = _mod_matmul_fused(_digitize_i8(x, dbits), w1_ref[0], p, s1, s14, s28,
+                          left=True, dbits=dbits)
     # fused n^-1 * phi^-i untwist
     q = modops._mulhi_u32(x, sivp_ref[0])
     x = x * ivp_ref[0] - q * p
@@ -487,12 +501,13 @@ def _build_fused_inv(ctx_id, interpret):
     m = ring.nmoduli
     n1, n2, w1l, w2l, tw, tws, ivp, sivp, shoup1, p_vec = \
         _fused_inv_tables(ctx_id)
+    dbits = _fused_geometry(ring.degree)[2]
     _i0 = np.int32(0)
 
     def call(xb):
         B = xb.shape[0]
         return pl.pallas_call(
-            _fused_inv_kernel,
+            functools.partial(_fused_inv_kernel, dbits),
             grid=(m, B),
             in_specs=[
                 pl.BlockSpec((1, 1, n1, n2), lambda c, b: (b, c, _i0, _i0),
@@ -536,9 +551,7 @@ def invntt_pow_invphi_fused(x, ctx, *, interpret=None):
     ctx_id = _register_ctx(ctx)
     ring = ctx.ring
     m, n = ring.nmoduli, ring.degree
-    half = static_log2(n) // 2
-    n1 = 1 << half
-    n2 = n // n1
+    n1, n2, _ = _fused_geometry(n)
     x = jnp.asarray(x)
     batch = x.shape[:-2]
     xb = x.reshape((-1, m, n1, n2))

@@ -15,6 +15,11 @@ def test_supports():
     assert not ntt_mxu.supports(nfl.Ring("u32", 8192, 2))   # odd log2
     assert not ntt_mxu.supports(nfl.Ring("u16", 512, 1))    # not u32
     assert not ntt_mxu.supports(nfl.Ring("u64", 4096, 1))
+    # the fused kernel covers rectangular decompositions too
+    for deg in (4096, 8192, 16384, 32768):
+        assert ntt_mxu.supports_fused(nfl.Ring("u32", deg, 2))
+    assert not ntt_mxu.supports_fused(nfl.Ring("u32", 2048, 2))
+    assert ntt_mxu._fused_geometry(32768) == (128, 256, 6)
 
 
 @pytest.mark.parametrize("degree,agg,limb", [(4096, 60, "u32")])
@@ -27,7 +32,8 @@ def test_matches_jnp(degree, agg, limb, rng):
     np.testing.assert_array_equal(want, got)
 
 
-@pytest.mark.parametrize("degree,agg,limb", [(4096, 60, "u32")])
+@pytest.mark.parametrize("degree,agg,limb", [(4096, 60, "u32"),
+                                             (8192, 60, "u32")])
 def test_fused_kernel_matches_jnp(degree, agg, limb, rng):
     ring = nfl.ring_from_modulus(limb, degree, agg)
     ctx = ring.context()
