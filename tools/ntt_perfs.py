@@ -67,7 +67,10 @@ def main():
                                                          interpret=False),
     }
     if ntt_mxu.supports(ring):
-        backends["mxu-matmul"] = lambda v: ntt_mxu.ntt_pow_phi_mxu(v, ctx)
+        backends["mxu-jnp"] = lambda v: ntt_mxu.ntt_pow_phi_mxu(v, ctx)
+    if ntt_mxu.supports_fused(ring):
+        backends["mxu-fused"] = lambda v: ntt_mxu.ntt_pow_phi_fused(
+            v, ctx, interpret=False)
 
     # bit-exactness gate first
     base = np.asarray(backends["jnp-stages"](xd[:1]))
