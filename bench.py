@@ -69,11 +69,12 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t1 = timed(1)
-    tk = timed(chain)
-    per_app = (tk - t1) / (chain - 1)   # seconds per NTT application
-    dt = tk
-    per_call = per_app
+    # three measurement windows; keep the best (tunnel load varies +-15%)
+    per_app = float("inf")
+    for _ in range(3):
+        t1 = timed(1)
+        tk = timed(chain)
+        per_app = min(per_app, (tk - t1) / (chain - 1))
 
     ntts = batch * m
     rate = ntts / per_app

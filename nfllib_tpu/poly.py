@@ -58,7 +58,6 @@ def _jitted(ring: Ring, name: str):
     log2(n)-stage NTT) compile as a single XLA program instead of per-stage
     eager dispatch.  jit re-specializes per batch shape automatically."""
     ctx = ring.context()
-    import numpy as _np
     p = jnp.asarray(ctx.p_col)
     pn = jnp.asarray(ctx.pn_col)
     fns = {
