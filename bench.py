@@ -69,16 +69,16 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    # The tunnel's load varies by minutes-long periods (observed 3x swings),
-    # so sample both chain lengths across several interleaved windows and
-    # difference the global minima — each min converges to the true device
-    # floor as long as ANY window lands in a quiet period.
-    t1 = float("inf")
-    tk = float("inf")
+    # The tunnel's load varies by minutes-long periods (observed 3x swings).
+    # Pair the two chain lengths inside each window (so a regime shift can't
+    # bias the difference) and take the median across windows.
+    diffs = []
     for _ in range(5):
-        t1 = min(t1, timed(1, reps=6))
-        tk = min(tk, timed(chain, reps=6))
-    per_app = (tk - t1) / (chain - 1)
+        t1 = timed(1, reps=6)
+        tk = timed(chain, reps=6)
+        diffs.append((tk - t1) / (chain - 1))
+    diffs.sort()
+    per_app = diffs[len(diffs) // 2]
 
     ntts = batch * m
     rate = ntts / per_app
