@@ -28,8 +28,11 @@ def main():
     n = 1 << 14
     m = 17            # 17 x 30-bit = 510 bits >= 8 x 62 = 496 bits
     batch = 64
-    chain = 33        # NTT applications per dispatch: the chained-vs-single
-                      # time delta must dwarf the tunnel's 30-100 ms RTT jitter
+    chain = 129       # NTT applications per dispatch: the chained-vs-single
+                      # time delta (~130 ms at 1M NTT/s) must dwarf the
+                      # tunnel's 30-100 ms RTT jitter — chain=33 left the
+                      # delta the same order as the jitter, which produced
+                      # the 3x run-to-run swings recorded in round 1
 
     ring = nfl.Ring("u32", n, m)
     ctx = ring.context()
@@ -60,25 +63,29 @@ def main():
     jf = jax.jit(f)
     _ = np.asarray(jf(xd, 1)[0, 0, 0:1])   # compile once (dynamic K)
 
-    def timed(K, reps=10):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = jf(xd, K)
-            _ = np.asarray(out[0, 0, 0:1])
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def one(K):
+        t0 = time.perf_counter()
+        out = jf(xd, K)
+        _ = np.asarray(out[0, 0, 0:1])
+        return time.perf_counter() - t0
 
-    # The tunnel's load varies by minutes-long periods (observed 3x swings).
-    # Pair the two chain lengths inside each window (so a regime shift can't
-    # bias the difference) and take the median across windows.
+    # The tunnel/chip load varies in minutes-long regimes (observed 3x
+    # swings); interference only ever ADDS time, so the chip-capability
+    # estimator is the MINIMUM chain-differenced time.  Within each window
+    # the 1-chain and K-chain calls are interleaved so both mins sample the
+    # same regime; the min across windows then captures the idle-chip rate.
     diffs = []
-    for _ in range(5):
-        t1 = timed(1, reps=6)
-        tk = timed(chain, reps=6)
+    for _ in range(8):
+        t1 = tk = float("inf")
+        for _ in range(4):
+            t1 = min(t1, one(1))
+            tk = min(tk, one(chain))
         diffs.append((tk - t1) / (chain - 1))
     diffs.sort()
-    per_app = diffs[len(diffs) // 2]
+    per_app = diffs[0]
+    print(f"[bench] window spread: best {diffs[0]*1e6:.1f} us, median "
+          f"{diffs[len(diffs)//2]*1e6:.1f} us, worst {diffs[-1]*1e6:.1f} us",
+          file=sys.stderr)
 
     ntts = batch * m
     rate = ntts / per_app

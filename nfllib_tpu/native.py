@@ -25,13 +25,21 @@ _tried = False
 
 
 def _build() -> bool:
+    # compile to a per-process temp name and rename atomically, so two
+    # concurrent first-use processes can't dlopen a half-written .so
     cxx = os.environ.get("CXX", "g++")
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     cmd = [cxx, "-O3", "-fPIC", "-shared", "-std=c++17",
-           "-o", _SO, _SRC]
+           "-o", tmp, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

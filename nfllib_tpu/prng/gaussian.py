@@ -10,10 +10,12 @@ Re-design of the reference's CDF-inversion sampler
     (:266-271); number_of_barriers = 1 + 2*ceil(t*sigma) (:275);
   * "barriers" = cumulative probabilities of exp(-(v-c)^2/(2 sigma^2)) at the
     integer points, normalized by (2^prec - 1)/SUM and rounded to integers —
-    computed here with mpmath at prec plus guard bits instead of per-op MPFR
-    rounding (:296-368).  The distribution is identical; individual barrier
-    integers may differ from MPFR's in the final ulp, which perturbs a given
-    keystream's outputs with probability ~2^-prec per sample.
+    computed by replaying the reference's exact MPFR op sequence against
+    libmpfr via ctypes (mpfr_barriers.py), so they are bit-identical to the
+    reference's (:296-368; anchored by tests/test_golden_interop.py).  When
+    libmpfr is absent the mpmath fallback computes nearly-exactly-rounded
+    values that may differ from MPFR's working-precision accumulation in the
+    low bits.
   * host sampling reproduces the reference's *stream consumption* exactly:
     a 1.05/2.0/word_precision-weighted input buffer drawn in one
     fastrandombytes call, two-level uint8 lookup, full-precision barrier walk
@@ -85,26 +87,37 @@ class FastGaussianNoise:
         self.bit_precision = self.word_precision * in_bits
         self.number_of_barriers = 1 + 2 * math.ceil(self.tail_bound * self.sigma)
 
-        # precomputeBarrierValues() (:296-368) with guard-bit mpmath
-        old_prec = mp.prec
-        try:
-            mp.prec = self.bit_precision + 96
-            inv_2s2 = 1 / (2 * mpf(self.sigma) ** 2)
-            c = mpf(self.center)
-            lo = self.rounded_center - (self.number_of_barriers - 1) // 2
-            probs = []
-            for i in range(self.number_of_barriers):
-                x = mpf(lo + i)
-                probs.append(mp.exp(-((x - c) ** 2) * inv_2s2))
-            total = mp.fsum(probs)
-            scale = (mpf(2) ** self.bit_precision - 1) / total
-            self.barriers = []
-            acc = mpf(0)
-            for pr in probs:
-                acc += pr
-                self.barriers.append(int(mp.nint(acc * scale)))
-        finally:
-            mp.prec = old_prec
+        # precomputeBarrierValues() (:296-368).  Primary path: replay the
+        # reference's exact MPFR op sequence against libmpfr via ctypes —
+        # bit-identical barriers (mpfr_barriers.py, anchored by the golden
+        # interop vectors).  Fallback: mpmath with guard bits, which computes
+        # the nearly-exactly-rounded values; those can differ from MPFR's
+        # working-precision accumulation in the low bits.
+        lo = self.rounded_center - (self.number_of_barriers - 1) // 2
+        from . import mpfr_barriers
+        if mpfr_barriers.available():
+            self.barriers = mpfr_barriers.compute_barriers(
+                self.sigma, self.center, self.rounded_center,
+                self.number_of_barriers, self.bit_precision)
+        else:
+            old_prec = mp.prec
+            try:
+                mp.prec = self.bit_precision + 96
+                inv_2s2 = 1 / (2 * mpf(self.sigma) ** 2)
+                c = mpf(self.center)
+                probs = []
+                for i in range(self.number_of_barriers):
+                    x = mpf(lo + i)
+                    probs.append(mp.exp(-((x - c) ** 2) * inv_2s2))
+                total = mp.fsum(probs)
+                scale = (mpf(2) ** self.bit_precision - 1) / total
+                self.barriers = []
+                acc = mpf(0)
+                for pr in probs:
+                    acc += pr
+                    self.barriers.append(int(mp.nint(acc * scale)))
+            finally:
+                mp.prec = old_prec
         self.base_value = lo  # value attached to the region below barrier 0
 
         self._build_lookup_tables()
