@@ -30,18 +30,23 @@ from ..utils import static_log2
 from . import modops
 
 
-def _use_pallas(ring) -> bool:
+def _pallas_backend(ring):
     """Dispatch policy: Pallas kernels on real TPUs, the jnp path elsewhere
-    (tests, CPU, u64 tier).  NFL_TPU_NTT=jnp|pallas|mxu overrides."""
+    (tests, CPU).  Returns the kernel module (ntt_pallas for u16/u32,
+    ntt_pallas_u64 for the paired-u32 62-bit tier) or None.
+    NFL_TPU_NTT=jnp|pallas|mxu overrides."""
     mode = os.environ.get("NFL_TPU_NTT", "auto")
     if mode == "jnp":
-        return False
-    from . import ntt_pallas
-    if not ntt_pallas.supports(ring):
-        return False
+        return None
+    if ring.limb == "u64":
+        from . import ntt_pallas_u64 as mod
+    else:
+        from . import ntt_pallas as mod
+    if not mod.supports(ring):
+        return None
     if mode in ("pallas", "mxu"):
-        return True
-    return jax.default_backend() == "tpu"
+        return mod
+    return mod if jax.default_backend() == "tpu" else None
 
 
 def _use_fused_mxu(ring) -> bool:
@@ -109,10 +114,10 @@ def ntt(x, ctx: RingContext, *, inverse_tables: bool = False):
     dt = x.dtype
     if ring.degree == 1:
         return x
-    if _use_pallas(ring):
-        from . import ntt_pallas
-        return ntt_pallas.ntt_fwd(x, ctx, inverse_tables=inverse_tables,
-                                  twist=False)
+    mod = _pallas_backend(ring)
+    if mod is not None:
+        return mod.ntt_fwd(x, ctx, inverse_tables=inverse_tables,
+                           twist=False)
     p_col = jnp.asarray(ctx.p_col)
     two_p = (p_col * 2).astype(dt)
     wt, wi, iwt, iwi = _stage_tables(ctx)
@@ -135,9 +140,9 @@ def inv_ntt(x, ctx: RingContext):
     """Bit-reverse -> forward pass with inverse twiddles -> bit-reverse
     (reference core.hpp:539-557).  No n^-1 scaling.  The Pallas path computes
     the same unique values by direct stage inversion with no permutations."""
-    if _use_pallas(ctx.ring):
-        from . import ntt_pallas
-        return ntt_pallas.intt_bwd(jnp.asarray(x), ctx, untwist=False)
+    mod = _pallas_backend(ctx.ring)
+    if mod is not None:
+        return mod.intt_bwd(jnp.asarray(x), ctx, untwist=False)
     rev = jnp.asarray(ctx.bitrev)
     y = jnp.take(x, rev, axis=-1)
     y = ntt(y, ctx, inverse_tables=True)
@@ -150,9 +155,9 @@ def ntt_pow_phi(x, ctx: RingContext):
     if _use_fused_mxu(ctx.ring):
         from . import ntt_mxu
         return ntt_mxu.ntt_pow_phi_fused(jnp.asarray(x), ctx)
-    if _use_pallas(ctx.ring):
-        from . import ntt_pallas
-        return ntt_pallas.ntt_fwd(jnp.asarray(x), ctx, twist=True)
+    mod = _pallas_backend(ctx.ring)
+    if mod is not None:
+        return mod.ntt_fwd(jnp.asarray(x), ctx, twist=True)
     phis = jnp.asarray(ctx.phis)
     sphis = jnp.asarray(ctx.shoupphis)
     p_col = jnp.asarray(ctx.p_col)
@@ -166,9 +171,9 @@ def invntt_pow_invphi(x, ctx: RingContext):
     if _use_fused_mxu(ctx.ring):
         from . import ntt_mxu
         return ntt_mxu.invntt_pow_invphi_fused(jnp.asarray(x), ctx)
-    if _use_pallas(ctx.ring):
-        from . import ntt_pallas
-        return ntt_pallas.intt_bwd(jnp.asarray(x), ctx, untwist=True)
+    mod = _pallas_backend(ctx.ring)
+    if mod is not None:
+        return mod.intt_bwd(jnp.asarray(x), ctx, untwist=True)
     y = inv_ntt(jnp.asarray(x), ctx)
     itab = jnp.asarray(ctx.invpoly_times_invphis)
     sitab = jnp.asarray(ctx.shoupinvpoly_times_invphis)

@@ -1,0 +1,427 @@
+"""Pallas TPU NTT / inverse-NTT kernels for the u64 (62-bit-moduli) tier.
+
+The reference treats u64 as a first-class tier with its own Newton-quotient
+mulmod (reference include/nfl/ops.hpp:201-219) and runs two of its five CI
+configs on it (tests/CMakeLists.txt:7).  TPUs have no 64-bit lanes (and under
+x64 Mosaic rejects i64 entirely), so until now the u64 tier fell back to the
+jnp stage loop, where XLA emulates every 64-bit op AND round-trips the tensor
+through HBM once per stage.
+
+This kernel keeps the VMEM-resident all-stages structure of ops/ntt_pallas.py
+but represents every 64-bit quantity as a (hi, lo) pair of uint32 arrays and
+implements the Harvey/Shoup butterfly arithmetic in explicit double-word
+32-bit-lane math:
+
+  * add/sub with carry/borrow propagation (one compare per word),
+  * mullo64 (3 32x32 low products + 1 mulhi32),
+  * mulhi64 (schoolbook 4-product with exact mid-column carry tracking),
+  * the same lazy [0, 2p) Harvey stages, lane-roll tail, fused phi twist /
+    n^-1 phi^-i untwist, and permutation-free stage-inversion INTT as the
+    u32 kernel — so outputs are bit-identical to ops/ntt.py's jnp path
+    (itself golden-anchored against the reference's compiled templates).
+
+Splitting/joining u64 <-> u32 pairs happens outside the kernel with plain
+shifts (one fused XLA pass); everything inside is uint32.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import static_log2
+from . import modops
+
+LANES = 128
+LOG_LANES = 7
+_I0 = np.int32(0)
+
+
+def supports(ring) -> bool:
+    return ring.limb == "u64" and ring.degree >= 2 * LANES
+
+
+# ---------------------------------------------------------------------------
+# paired-u32 double-word arithmetic (all values uint32 arrays)
+# ---------------------------------------------------------------------------
+
+def _c32(b):
+    return b.astype(jnp.uint32)
+
+
+def p_add(a, b):
+    ah, al = a
+    bh, bl = b
+    lo = al + bl
+    return ah + bh + _c32(lo < al), lo
+
+
+def p_sub(a, b):
+    ah, al = a
+    bh, bl = b
+    return ah - bh - _c32(al < bl), al - bl
+
+
+def p_ge(a, b):
+    ah, al = a
+    bh, bl = b
+    return (ah > bh) | ((ah == bh) & (al >= bl))
+
+
+def p_select(c, a, b):
+    return jnp.where(c, a[0], b[0]), jnp.where(c, a[1], b[1])
+
+
+def p_lazymod(t, two_p):
+    return p_select(p_ge(t, two_p), p_sub(t, two_p), t)
+
+
+def p_mullo(a, b):
+    """Low 64 bits of the 128-bit product, as a pair."""
+    ah, al = a
+    bh, bl = b
+    lo = al * bl
+    hi = modops._mulhi_u32(al, bl) + al * bh + ah * bl
+    return hi, lo
+
+
+def p_mulhi(a, b):
+    """High 64 bits of the 128-bit product, as a pair (exact)."""
+    ah, al = a
+    bh, bl = b
+    ll_h = modops._mulhi_u32(al, bl)
+    lh_l = al * bh
+    lh_h = modops._mulhi_u32(al, bh)
+    hl_l = ah * bl
+    hl_h = modops._mulhi_u32(ah, bl)
+    hh_l = ah * bh
+    hh_h = modops._mulhi_u32(ah, bh)
+    # mid column (bits 32..63): ll_h + lh_l + hl_l, carries into bits 64+
+    m1 = ll_h + lh_l
+    c1 = _c32(m1 < lh_l)
+    m2 = m1 + hl_l
+    c2 = _c32(m2 < hl_l)
+    cmid = c1 + c2
+    # bits 64..95: hh_l + lh_h + hl_h + cmid (carries into bits 96+)
+    r_l = hh_l + lh_h
+    c3 = _c32(r_l < lh_h)
+    r_l2 = r_l + hl_h
+    c4 = _c32(r_l2 < hl_h)
+    r_l3 = r_l2 + cmid
+    c5 = _c32(r_l3 < cmid)
+    return hh_h + c3 + c4 + c5, r_l3
+
+
+def p_shoup_lazy(x, w, wsh, p):
+    """x * w mod p via Shoup, lazy result in [0, 2p)."""
+    q = p_mulhi(x, wsh)
+    return p_sub(p_mullo(x, w), p_mullo(q, p))
+
+
+def p_reduce_once(x, p):
+    return p_select(p_ge(x, p), p_sub(x, p), x)
+
+
+# ---------------------------------------------------------------------------
+# host-side kernel tables (u64 values split into uint32 hi/lo planes)
+# ---------------------------------------------------------------------------
+
+_CTX_BY_ID = {}
+
+
+def _register_ctx(ctx):
+    _CTX_BY_ID[id(ctx)] = ctx
+    return id(ctx)
+
+
+def _split(t):
+    t = np.ascontiguousarray(t, dtype=np.uint64)
+    return ((t >> np.uint64(32)).astype(np.uint32),
+            (t & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+
+
+@functools.lru_cache(maxsize=None)
+def _kernel_tables(ctx_id, inverse):
+    """Same layout as ntt_pallas._kernel_tables, hi/lo planes."""
+    ctx = _CTX_BY_ID[ctx_id]
+    ring = ctx.ring
+    n = ring.degree
+    m = ring.nmoduli
+    w = ctx.invomegas if inverse else ctx.omegas
+    ws = ctx.shoupinvomegas if inverse else ctx.shoupomegas
+    main_len = n - LANES
+    wmain = np.ascontiguousarray(w[:, :main_len]).reshape(m, 1, main_len)
+    wsmain = np.ascontiguousarray(ws[:, :main_len]).reshape(m, 1, main_len)
+
+    # lane-stage full-width vectors: twiddle at second-half lanes, 1 at
+    # first-half lanes (and Shoup constant 1, so q = hi64(x*1) = 0 there and
+    # the "transformed" value equals x — discarded by the select anyway)
+    lvec = np.ones((m, LOG_LANES, LANES), dtype=np.uint64)
+    lsvec = np.ones((m, LOG_LANES, LANES), dtype=np.uint64)
+    j = np.arange(LANES)
+    off = main_len
+    for t in range(LOG_LANES):
+        h = LANES >> (t + 1)
+        second = (j & h) != 0
+        idx = (j % (2 * h)) - h
+        for cm in range(m):
+            lvec[cm, t, second] = w[cm, off:off + h][idx[second]]
+            lsvec[cm, t, second] = ws[cm, off:off + h][idx[second]]
+        off += h
+    return (_split(wmain), _split(wsmain), _split(lvec), _split(lsvec))
+
+
+# ---------------------------------------------------------------------------
+# kernel body
+# ---------------------------------------------------------------------------
+
+def _row_stages(x, wm, wsm, n, log_r, p, two_p, inverse=False):
+    """Stages with half >= 128; x is a (hi, lo) pair of [mg, R, 128]."""
+    mg, R, C = x[0].shape
+    p4 = (p[0][:, None], p[1][:, None])
+    tp4 = (two_p[0][:, None], two_p[1][:, None])
+    offs = []
+    off = 0
+    for s in range(log_r):
+        offs.append(off)
+        off += n >> (s + 1)
+    order = reversed(range(log_r)) if inverse else range(log_r)
+    for s in order:
+        half = n >> (s + 1)
+        hs = half // LANES
+        off = offs[s]
+
+        def seg(t):
+            return (t[0][:, 0, off:off + half].reshape(mg, 1, hs, LANES),
+                    t[1][:, 0, off:off + half].reshape(mg, 1, hs, LANES))
+
+        wt = seg(wm)
+        wi = seg(wsm)
+        v = (x[0].reshape(mg, 1 << s, 2 * hs, C),
+             x[1].reshape(mg, 1 << s, 2 * hs, C))
+        u0 = (v[0][:, :, :hs, :], v[1][:, :, :hs, :])
+        u1 = (v[0][:, :, hs:, :], v[1][:, :, hs:, :])
+        if inverse:
+            w1 = p_shoup_lazy(u1, wt, wi, p4)
+            a = p_lazymod(p_add(u0, w1), tp4)
+            b = p_lazymod(p_add(p_sub(u0, w1), tp4), tp4)
+        else:
+            a = p_lazymod(p_add(u0, u1), tp4)
+            t1 = p_add(p_sub(u0, u1), tp4)
+            b = p_shoup_lazy(t1, wt, wi, p4)
+        x = (jnp.concatenate([a[0], b[0]], axis=2).reshape(mg, R, C),
+             jnp.concatenate([a[1], b[1]], axis=2).reshape(mg, R, C))
+    return x
+
+
+def _lane_stages(x, lv, ls, p, two_p, inverse=False):
+    """Stages with half < 128: lane rolls + select on both words."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), dimension=2)
+    mg = x[0].shape[0]
+
+    def roll(t, sh):
+        return (pltpu.roll(t[0], np.int32(sh), 2),
+                pltpu.roll(t[1], np.int32(sh), 2))
+
+    order = reversed(range(LOG_LANES)) if inverse else range(LOG_LANES)
+    for t in order:
+        h = LANES >> (t + 1)
+        wt = (lv[0][:, t, :].reshape(mg, 1, LANES),
+              lv[1][:, t, :].reshape(mg, 1, LANES))
+        wi = (ls[0][:, t, :].reshape(mg, 1, LANES),
+              ls[1][:, t, :].reshape(mg, 1, LANES))
+        first = (lane & h) == 0
+        if inverse:
+            v = p_shoup_lazy(x, wt, wi, p)     # w^-1 * B at second-half lanes
+            va = roll(v, LANES - h)            # v[j+h] at lane j
+            t0p = roll(x, h)                   # A at lane j-h
+            a = p_lazymod(p_add(x, va), two_p)
+            b = p_lazymod(p_add(p_sub(t0p, v), two_p), two_p)
+        else:
+            rp = roll(x, h)                    # x[j-h] at lane j
+            rm = roll(x, LANES - h)            # x[j+h] at lane j
+            a = p_lazymod(p_add(x, rm), two_p)
+            t1 = p_add(p_sub(rp, x), two_p)
+            b = p_shoup_lazy(t1, wt, wi, p)
+        x = p_select(first, a, b)
+    return x
+
+
+def _ntt_kernel(n, log_r, twist, strict, inverse,
+                xh_ref, xl_ref, twh_ref, twl_ref, stwh_ref, stwl_ref,
+                wmh_ref, wml_ref, wsh_ref, wsl_ref,
+                lvh_ref, lvl_ref, lsh_ref, lsl_ref,
+                ph_ref, pl_ref, oh_ref, ol_ref):
+    p = (ph_ref[0], pl_ref[0])                 # [mg, 1, 1] columns
+    two_p = p_add(p, p)
+    x = (xh_ref[0], xl_ref[0])                 # [mg, R, 128] pairs
+    wm = (wmh_ref[...], wml_ref[...])
+    wsm = (wsh_ref[...], wsl_ref[...])
+    lv = (lvh_ref[...], lvl_ref[...])
+    ls = (lsh_ref[...], lsl_ref[...])
+    tw = (twh_ref[...], twl_ref[...])
+    stw = (stwh_ref[...], stwl_ref[...])
+
+    if not inverse:
+        if twist:
+            x = p_reduce_once(p_shoup_lazy(x, tw, stw, p), p)
+        x = _row_stages(x, wm, wsm, n, log_r, p, two_p)
+        x = _lane_stages(x, lv, ls, p, two_p)
+    else:
+        x = _lane_stages(x, lv, ls, p, two_p, inverse=True)
+        x = _row_stages(x, wm, wsm, n, log_r, p, two_p, inverse=True)
+        if twist:   # fused n^-1 * phi^-i untwist
+            x = p_shoup_lazy(x, tw, stw, p)
+
+    if strict:
+        x = p_reduce_once(x, p)
+    oh_ref[0] = x[0]
+    ol_ref[0] = x[1]
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrapper
+# ---------------------------------------------------------------------------
+
+# Pairs double the u32 kernel's working set (ntt_pallas measured ~22 words
+# per element per channel), plus live double-word temporaries.
+_VMEM_PER_CHAN_FACTOR = 48        # * n * 4 bytes
+_VMEM_LIMIT = 15 * 1024 * 1024
+
+
+def _channel_group(ring):
+    n, m = ring.degree, ring.nmoduli
+    per_chan = n * 4 * _VMEM_PER_CHAN_FACTOR
+    mg_max = max(1, min(m, _VMEM_LIMIT // per_chan))
+    best = (1, m)
+    best_cost = (0, 0)
+    for mg in range(1, mg_max + 1):
+        padded = -(-m // mg) * mg
+        if padded > m + max(1, (15 * m) // 100) and mg > 1:
+            continue
+        cost = (mg, -padded)
+        if cost > best_cost:
+            best_cost = cost
+            best = (mg, padded)
+    return best
+
+
+@functools.lru_cache(maxsize=None)
+def _build(ctx_id, stage_inverse, tables_inverse, twist, strict, interpret):
+    ctx = _CTX_BY_ID[ctx_id]
+    ring = ctx.ring
+    n, m = ring.degree, ring.nmoduli
+    R = n // LANES
+    log_r = static_log2(R)
+    mg, padded_m = _channel_group(ring)
+
+    (wmh, wml), (wsh, wsl), (lvh, lvl), (lsh, lsl) = _kernel_tables(
+        ctx_id, tables_inverse or stage_inverse)
+    if stage_inverse:
+        tw64 = ctx.invpoly_times_invphis
+        stw64 = ctx.shoupinvpoly_times_invphis
+    else:
+        tw64 = ctx.phis
+        stw64 = ctx.shoupphis
+    twh, twl = _split(tw64.reshape(m, R, LANES))
+    stwh, stwl = _split(stw64.reshape(m, R, LANES))
+    ph, plo = _split(ctx.p.reshape(m, 1, 1))
+
+    if padded_m != m:
+        def pad(t):
+            reps = [t[0:1]] * (padded_m - m)
+            return np.concatenate([t] + reps, axis=0)
+        twh, twl, stwh, stwl = pad(twh), pad(twl), pad(stwh), pad(stwl)
+        wmh, wml, wsh, wsl = pad(wmh), pad(wml), pad(wsh), pad(wsl)
+        lvh, lvl, lsh, lsl = pad(lvh), pad(lvl), pad(lsh), pad(lsl)
+        ph, plo = pad(ph), pad(plo)
+
+    kern = functools.partial(_ntt_kernel, n, log_r, twist, strict,
+                             stage_inverse)
+
+    def spec_x():
+        return pl.BlockSpec((1, mg, R, LANES), lambda g, b: (b, g, _I0, _I0),
+                            memory_space=pltpu.VMEM)
+
+    def spec_tab(shape):
+        return pl.BlockSpec(shape, lambda g, b: (g,) + (_I0,) * (len(shape) - 1),
+                            memory_space=pltpu.VMEM)
+
+    def call(xbh, xbl):
+        """xbh/xbl: [B, padded_m, R, 128] uint32 -> same shapes."""
+        B = xbh.shape[0]
+        grid = (padded_m // mg, B)   # batch innermost: tables stay resident
+        out_sd = jax.ShapeDtypeStruct(xbh.shape, jnp.uint32)
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                spec_x(), spec_x(),
+                spec_tab((mg, R, LANES)), spec_tab((mg, R, LANES)),
+                spec_tab((mg, R, LANES)), spec_tab((mg, R, LANES)),
+                spec_tab((mg, 1, n - LANES)), spec_tab((mg, 1, n - LANES)),
+                spec_tab((mg, 1, n - LANES)), spec_tab((mg, 1, n - LANES)),
+                spec_tab((mg, LOG_LANES, LANES)),
+                spec_tab((mg, LOG_LANES, LANES)),
+                spec_tab((mg, LOG_LANES, LANES)),
+                spec_tab((mg, LOG_LANES, LANES)),
+                pl.BlockSpec((1, mg, 1, 1), lambda g, b: (_I0, g, _I0, _I0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, mg, 1, 1), lambda g, b: (_I0, g, _I0, _I0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[spec_x(), spec_x()],
+            out_shape=[out_sd, out_sd],
+            interpret=interpret,
+        )(xbh, xbl, jnp.asarray(twh), jnp.asarray(twl), jnp.asarray(stwh),
+          jnp.asarray(stwl), jnp.asarray(wmh), jnp.asarray(wml),
+          jnp.asarray(wsh), jnp.asarray(wsl), jnp.asarray(lvh),
+          jnp.asarray(lvl), jnp.asarray(lsh), jnp.asarray(lsl),
+          jnp.asarray(ph[None]), jnp.asarray(plo[None]))
+
+    return call, padded_m
+
+
+def _run(x, ctx, stage_inverse, tables_inverse, twist, strict, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ring = ctx.ring
+    n, m = ring.degree, ring.nmoduli
+    R = n // LANES
+    ctx_id = _register_ctx(ctx)
+    x = jnp.asarray(x)
+    batch = x.shape[:-2]
+    xb = x.reshape((-1, m, R, LANES))
+    # split into u32 planes outside the kernel (one fused XLA pass each way)
+    xbh = (xb >> jnp.uint64(32)).astype(jnp.uint32)
+    xbl = xb.astype(jnp.uint32)
+    call, padded_m = _build(ctx_id, bool(stage_inverse), bool(tables_inverse),
+                            bool(twist), bool(strict), bool(interpret))
+    if padded_m != m:
+        pad = jnp.zeros((xb.shape[0], padded_m - m, R, LANES),
+                        dtype=jnp.uint32)
+        xbh = jnp.concatenate([xbh, pad], axis=1)
+        xbl = jnp.concatenate([xbl, pad], axis=1)
+    oh, ol = call(xbh, xbl)
+    if padded_m != m:
+        oh, ol = oh[:, :m], ol[:, :m]
+    out = (oh.astype(jnp.uint64) << jnp.uint64(32)) | ol.astype(jnp.uint64)
+    return out.reshape(batch + (m, n))
+
+
+def ntt_fwd(x, ctx, *, inverse_tables=False, twist=True, strict=True,
+            interpret=None):
+    """Forward Harvey NTT pass of u64 [..., m, n] residues (paired-u32
+    kernel); twist=True fuses the phi^i pre-twist.  Bit-identical to
+    ops/ntt.py's jnp path."""
+    return _run(x, ctx, False, inverse_tables, twist, strict, interpret)
+
+
+def intt_bwd(x, ctx, *, untwist=True, strict=True, interpret=None):
+    """Inverse negacyclic transform via direct stage inversion (no
+    permutations); untwist=True applies the fused n^-1 phi^-i scaling."""
+    return _run(x, ctx, True, True, untwist, strict, interpret)
