@@ -8,11 +8,14 @@ reference's poly_p copy-on-write wrapper (poly_p.hpp:10-204) exists to
 approximate — poly and poly_p collapse into this one type (PolyP is an alias).
 
 Operator sugar mirrors the reference's expression-template surface
-(poly.hpp:346-352): `a * b` returns a lazy `MulExpr` so that
-`shoup(a * b, bprec)` can rewrite to a single fused mulmod_shoup pass — the
-one pattern rewrite the reference implements (ops.hpp:267-277).  Everything
-else evaluates eagerly into jnp ops, which XLA fuses under jit (the
-single-pass contract of reference core.hpp:25-37).
+(poly.hpp:346-352): `+ - *` build a lazy `Expr` op tree, and the whole tree
+traces into ONE jitted XLA program when a value is demanded — the TPU analog
+of the reference's single-pass assignment loop (core.hpp:25-37): an eager
+chain like `a*b + c - d` makes one HBM round trip, not one per op.  The
+`shoup(a * b, bprec)` pattern rewrite to a fused mulmod_shoup (the one
+rewrite the reference implements, ops.hpp:267-277) is preserved as an Expr
+node kind, because Shoup multiplication is a different (division-free)
+algorithm, not just a fusion.
 """
 from __future__ import annotations
 
@@ -39,6 +42,7 @@ from .prng.sampling import (  # re-exported mode tags
 __all__ = [
     "Poly",
     "PolyP",
+    "Expr",
     "MulExpr",
     "shoup",
     "compute_shoup",
@@ -53,10 +57,12 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted(ring: Ring, name: str):
+def _jitted_impl(ring: Ring, name: str, strict: bool):
     """One compiled graph per (ring, op): whole op chains (e.g. the full
     log2(n)-stage NTT) compile as a single XLA program instead of per-stage
-    eager dispatch.  jit re-specializes per batch shape automatically."""
+    eager dispatch.  jit re-specializes per batch shape automatically.
+    `strict` keys the cache on strictmod so the in-op asserts that modops
+    traces under the flag (debug.op_check) appear/disappear on toggle."""
     ctx = ring.context()
     p = jnp.asarray(ctx.p_col)
     pn = jnp.asarray(ctx.pn_col)
@@ -73,6 +79,10 @@ def _jitted(ring: Ring, name: str):
         "invntt_pow_invphi": lambda x: ntt_mod.invntt_pow_invphi(x, ctx),
     }
     return jax.jit(fns[name])
+
+
+def _jitted(ring: Ring, name: str):
+    return _jitted_impl(ring, name, debug.strictmod_enabled())
 
 
 @jax.tree_util.register_pytree_node_class
@@ -192,33 +202,28 @@ class Poly:
         return Poly(data, self.ring)
 
     # --- arithmetic (reference poly.hpp:346-352 operator set) ----------------
+    # `+ - *` are lazy: they build an Expr op tree that compiles into one XLA
+    # program on demand (reference expression templates, ops.hpp:52-97).
     def __add__(self, other):
-        other = _as_poly(other)
-        self._check_same_ring(other)
-        self._strict_check(self, other)
-        return self._wrap(_jitted(self.ring, "add")(self.data, other.data))
+        return Expr("add", (self, _as_operand(other)))
 
     def __sub__(self, other):
-        other = _as_poly(other)
-        self._check_same_ring(other)
-        self._strict_check(self, other)
-        return self._wrap(_jitted(self.ring, "sub")(self.data, other.data))
+        return Expr("sub", (self, _as_operand(other)))
 
     def __mul__(self, other):
-        # lazy, so that shoup(a * b, prec) can fuse (ops.hpp:267-277)
-        return MulExpr(self, _as_poly(other))
+        return Expr("mul", (self, _as_operand(other)))
 
     def __radd__(self, other):
-        return _as_poly(other).__add__(self)
+        return Expr("add", (_as_operand(other), self))
 
     def __rsub__(self, other):
-        return _as_poly(other).__sub__(self)
+        return Expr("sub", (_as_operand(other), self))
 
     def __rmul__(self, other):
-        return MulExpr(_as_poly(other), self)
+        return Expr("mul", (_as_operand(other), self))
 
     def __eq__(self, other):
-        if isinstance(other, MulExpr):
+        if isinstance(other, Expr):
             other = other.poly()
         if not isinstance(other, Poly) or other.ring != self.ring:
             return NotImplemented
@@ -283,78 +288,182 @@ class Poly:
 PolyP = Poly
 
 
-class MulExpr:
-    """Deferred pointwise product, the one-node expression-template analog.
+@functools.lru_cache(maxsize=None)
+def _chain_program_impl(ring: Ring, key, strict: bool):
+    """One compiled XLA program per (ring, op-tree shape).  `key` is a nested
+    tuple of op names with leaf indices at the leaves; the program takes the
+    leaf residue tensors positionally.  This is the single-pass-per-chain
+    contract of the reference's expression templates (core.hpp:25-37): XLA
+    fuses the whole elementwise tree into one kernel.  `strict` keys the
+    cache on strictmod (modops traces per-op asserts under the flag)."""
+    ctx = ring.context()
+    p = jnp.asarray(ctx.p_col)
+    pn = jnp.asarray(ctx.pn_col)
 
-    Evaluates to a Poly on demand; `shoup(a * b, prec)` intercepts it to emit
-    a single mulmod_shoup (the reference's only op-tree rewrite,
-    ops.hpp:267-277), and `expr + c` emits a fused muladd.
+    def run(*leaves):
+        memo = {}
+
+        def ev(k):
+            if isinstance(k, int):
+                return leaves[k]
+            if k in memo:          # trace-time CSE for shared subtrees
+                return memo[k]
+            op = k[0]
+            if op == "add":
+                r = modops.addmod(ev(k[1]), ev(k[2]), p)
+            elif op == "sub":
+                r = modops.submod(ev(k[1]), ev(k[2]), p)
+            elif op == "mul":
+                r = modops.mulmod(ev(k[1]), ev(k[2]), p, pn)
+            else:                  # "shoup"
+                r = modops.mulmod_shoup(ev(k[1]), ev(k[2]), ev(k[3]), p)
+            memo[k] = r
+            return r
+
+        return ev(key)
+
+    return jax.jit(run)
+
+
+def _chain_program(ring: Ring, key):
+    return _chain_program_impl(ring, key, debug.strictmod_enabled())
+
+
+class Expr:
+    """Lazy elementwise op tree (reference ops::expr, ops.hpp:52-97).
+
+    Nodes: add / sub / mul / shoup(a, b, bprec); operands are Polys or nested
+    Exprs.  Demanding a value (``.poly()``, ``.data``, comparison, NTT, any
+    Poly method) flattens the tree to a shape key, compiles ONE jitted program
+    for that shape (cached per ring), and runs it over the leaf tensors — so
+    an eager chain is a single pass over memory regardless of length, like
+    the reference's assignment loop (core.hpp:25-37).
     """
 
-    def __init__(self, a: Poly, b: Poly):
-        a._check_same_ring(b)
-        self.a = a
-        self.b = b
-        self._val = None
+    __slots__ = ("op", "args", "ring", "_val")
+
+    def __init__(self, op: str, args):
+        ring = args[0].ring
+        for a in args[1:]:
+            if a.ring != ring:
+                raise ValueError(f"ring mismatch: {ring} vs {a.ring}")
+        if debug.strictmod_enabled():
+            # reference CHECK_STRICTMOD asserts at every op boundary
+            # (debug.hpp:33-37) — check Poly operands when the node is built,
+            # not only when the tree is forced.
+            p = jnp.asarray(ring.context().p_col)
+            for a in args:
+                if isinstance(a, Poly):
+                    debug.check_residues(a.data, p)
+        object.__setattr__(self, "op", op)
+        object.__setattr__(self, "args", tuple(args))
+        object.__setattr__(self, "ring", ring)
+        object.__setattr__(self, "_val", None)
+
+    # --- evaluation ---------------------------------------------------------
+    def _flatten(self, leaves, index_by_id):
+        parts = [self.op]
+        for a in self.args:
+            if isinstance(a, Expr):
+                parts.append(a._flatten(leaves, index_by_id))
+            else:
+                k = id(a)
+                if k not in index_by_id:
+                    index_by_id[k] = len(leaves)
+                    leaves.append(a)
+                parts.append(index_by_id[k])
+        return tuple(parts)
 
     def poly(self) -> Poly:
         if self._val is None:
-            self._val = self.a.mulmod(self.b)
+            leaves: list = []
+            key = self._flatten(leaves, {})
+            if debug.strictmod_enabled():
+                p = jnp.asarray(self.ring.context().p_col)
+                for leaf in leaves:
+                    debug.check_residues(leaf.data, p)
+            out = _chain_program(self.ring, key)(*[l.data for l in leaves])
+            object.__setattr__(self, "_val", Poly(out, self.ring))
         return self._val
 
     @property
     def data(self):
         return self.poly().data
 
-    @property
-    def ring(self):
-        return self.a.ring
-
+    # --- lazy operators (stay lazy: extend the tree) ------------------------
     def __add__(self, other):
-        if isinstance(other, MulExpr):
-            other = other.poly()
-        return other.muladd(self.a, self.b)
+        return Expr("add", (self, _as_operand(other)))
 
     def __radd__(self, other):
-        return self.__add__(other)
+        return Expr("add", (_as_operand(other), self))
 
     def __sub__(self, other):
-        return self.poly() - other
+        return Expr("sub", (self, _as_operand(other)))
 
     def __rsub__(self, other):
-        return _as_poly(other) - self.poly()
+        return Expr("sub", (_as_operand(other), self))
 
     def __mul__(self, other):
-        return MulExpr(self.poly(), _as_poly(other))
+        return Expr("mul", (self, _as_operand(other)))
 
+    def __rmul__(self, other):
+        return Expr("mul", (_as_operand(other), self))
+
+    # --- forcing surface ----------------------------------------------------
     def __eq__(self, other):
         return self.poly() == other
+
+    def __ne__(self, other):
+        eq = self.__eq__(other)
+        return NotImplemented if eq is NotImplemented else not eq
+
+    __hash__ = None
 
     def __bool__(self):
         return bool(self.poly())
 
-    def ntt_pow_phi(self):
-        return self.poly().ntt_pow_phi()
+    def __call__(self, cm: int, i: int) -> int:
+        return self.poly()(cm, i)
 
-    def invntt_pow_invphi(self):
-        return self.poly().invntt_pow_invphi()
+    def __iter__(self):
+        return iter(self.poly())
+
+    def __repr__(self):
+        leaves: list = []
+        return f"Expr({self._flatten(leaves, {})!r}, nleaves={len(leaves)})"
+
+    def __getattr__(self, name):
+        # forward the full Poly surface (ntt_pow_phi, mulmod, serialization…)
+        return getattr(self.poly(), name)
+
+
+# Backwards-compatible name for the round-1 single-node expression type.
+MulExpr = Expr
+
+
+def _as_operand(x):
+    """Poly or Expr, unforced (for building lazy trees)."""
+    if isinstance(x, (Poly, Expr)):
+        return x
+    raise TypeError(f"expected Poly, got {type(x)!r}")
 
 
 def _as_poly(x) -> Poly:
     if isinstance(x, Poly):
         return x
-    if isinstance(x, MulExpr):
+    if isinstance(x, Expr):
         return x.poly()
     raise TypeError(f"expected Poly, got {type(x)!r}")
 
 
-def shoup(expr, prec: Poly) -> Poly:
+def shoup(expr, prec) -> Expr:
     """nfl::shoup(a * b, bprec) -> fused mulmod_shoup (ops.hpp:267-277).
 
     Only the product pattern is defined (using shoup on anything else is a
-    static error in the reference, ops.hpp:153-163)."""
-    if isinstance(expr, MulExpr):
-        return expr.a.mulmod_shoup(expr.b, prec)
+    static error in the reference, ops.hpp:153-163).  Returns a lazy Expr so
+    the rewrite composes with surrounding chains."""
+    if isinstance(expr, Expr) and expr.op == "mul":
+        return Expr("shoup", expr.args + (_as_operand(prec),))
     raise TypeError("shoup() expects a deferred product a * b")
 
 

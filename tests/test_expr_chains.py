@@ -1,0 +1,87 @@
+"""Lazy expression trees compile whole eager chains into ONE program.
+
+The reference's expression templates evaluate arbitrary op chains in a single
+pass over the coefficient array (reference include/nfl/ops.hpp:52-97,
+core.hpp:25-37).  The TPU analog: `+ - *` build an Expr tree and evaluation
+traces the whole tree into one jitted XLA program (poly._chain_program).
+"""
+import numpy as np
+import pytest
+
+import nfllib_tpu as nfl
+from nfllib_tpu import poly as poly_mod
+
+from conftest import rand_residues
+
+
+@pytest.fixture
+def ring():
+    return nfl.ring_from_modulus("u32", 256, 60)
+
+
+def _mk(ring, rng, k):
+    return [nfl.Poly(rand_residues(ring, rng), ring) for _ in range(k)]
+
+
+def test_chain_is_one_program(ring, rng):
+    a, b, c, d = _mk(ring, rng, 4)
+    poly_mod._chain_program_impl.cache_clear()
+    e = a * b + c - d
+    assert isinstance(e, poly_mod.Expr)
+    assert poly_mod._chain_program_impl.cache_info().currsize == 0  # lazy
+    r = e.poly()
+    info = poly_mod._chain_program_impl.cache_info()
+    assert info.currsize == 1           # the whole chain: one compiled program
+    # re-evaluating an identically-shaped chain reuses it
+    r2 = (b * a + d - c).poly()
+    info = poly_mod._chain_program_impl.cache_info()
+    assert info.currsize == 1 and info.hits >= 1
+    assert r2.data.shape == r.data.shape
+
+
+def test_chain_matches_eager_ops(ring, rng):
+    a, b, c, d = _mk(ring, rng, 4)
+    got = (a * b + c - d).poly()
+    want = poly_mod._as_poly(poly_mod._as_poly(a.mulmod(b) + c) - d)
+    np.testing.assert_array_equal(np.asarray(got.data),
+                                  np.asarray(want.data))
+
+
+def test_shoup_rewrite_inside_chain(ring, rng):
+    """shoup(a*b, bprec) stays a single mulmod_shoup node inside a larger
+    chain and equals the eager mulmod_shoup result."""
+    a, b, c = _mk(ring, rng, 3)
+    bprec = b.compute_shoup()
+    lazy = (nfl.shoup(a * b, bprec) + c).poly()
+    eager = a.mulmod_shoup(b, bprec) + c
+    np.testing.assert_array_equal(np.asarray(lazy.data),
+                                  np.asarray(poly_mod._as_poly(eager).data))
+
+
+def test_shared_subtree_evaluates_once(ring, rng):
+    a, b, c = _mk(ring, rng, 3)
+    e = a * b
+    r = (e + c) - e          # diamond: e appears twice
+    want_e = a.mulmod(b)
+    want = (want_e + c) - want_e
+    np.testing.assert_array_equal(np.asarray(r.data),
+                                  np.asarray(poly_mod._as_poly(want).data))
+
+
+def test_expr_forwards_poly_surface(ring, rng):
+    a, b = _mk(ring, rng, 2)
+    e = a + b
+    # NTT methods, serialization, accessors all force transparently
+    assert e.serialize_manually() == poly_mod._as_poly(a + b).serialize_manually()
+    f = e.ntt_pow_phi()
+    back = f.invntt_pow_invphi()
+    assert back == (a + b)
+    assert e(0, 0) == int(poly_mod._as_poly(a + b).data[0, 0])
+
+
+def test_ring_mismatch_raises(ring, rng):
+    other = nfl.ring_from_modulus("u32", 512, 60)
+    a = nfl.Poly(rand_residues(ring, rng), ring)
+    b = nfl.Poly(rand_residues(other, rng), other)
+    with pytest.raises(ValueError):
+        a + b
