@@ -25,16 +25,35 @@ def strictmod_enabled() -> bool:
     return _STRICT
 
 
+def _raise_oob(ok_val):
+    if not ok_val:
+        raise AssertionError("STRICTMOD: residue out of [0, p) range")
+
+
 def check_residues(data, p_col) -> None:
-    """Assert all residues < p (per channel).  No-op unless strict mode."""
+    """Assert all residues < p (per channel).  No-op unless strict mode.
+
+    Works both eagerly (raises AssertionError immediately) and under jit
+    (jax.debug.callback — the AssertionError surfaces wrapped in the runtime
+    error at result time)."""
     if not _STRICT:
         return
     ok = jnp.all(data < p_col)
     if isinstance(ok, jax.core.Tracer):
-        def _raise(ok_val):
-            if not ok_val:
-                raise AssertionError("STRICTMOD: residue out of [0, p) range")
-        jax.debug.callback(_raise, ok)
+        jax.debug.callback(_raise_oob, ok)
     else:
-        if not bool(ok):
-            raise AssertionError("STRICTMOD: residue out of [0, p) range")
+        _raise_oob(bool(ok))
+
+
+def op_check(p, *operands) -> None:
+    """Per-op strict-mod operand bracket (reference debug.hpp:33-37).
+
+    The reference compiles `assert x < p` into every modular functor
+    (ops.hpp:131,148,190,211).  modops calls this at each op entry so strict
+    mode brackets every intermediate, not just Poly operator boundaries.
+    No-op (not even traced) unless strict mode is on at trace time — callers
+    caching jitted programs must key the cache on strictmod_enabled()."""
+    if not _STRICT:
+        return
+    for d in operands:
+        check_residues(d, p)

@@ -21,6 +21,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
+from .. import debug
+
 _U16, _U32, _U64 = jnp.uint16, jnp.uint32, jnp.uint64
 
 _WIDER = {jnp.dtype(jnp.uint16): jnp.uint32, jnp.dtype(jnp.uint32): jnp.uint64}
@@ -93,13 +95,16 @@ def mul128(x, y):
 
 def addmod(x, y, p):
     """x + y mod p, assuming x, y < p (reference ops.hpp:124-135)."""
+    debug.op_check(p, x, y)
     z = x + y
     return z - jnp.where(z >= p, p, jnp.zeros_like(p)).astype(z.dtype)
 
 
 def submod(x, y, p):
     """x - y mod p, assuming x, y < p (reference ops.hpp:141-151)."""
-    return addmod(x, (p - y).astype(x.dtype), p)
+    debug.op_check(p, x, y)
+    z = x + (p - y).astype(x.dtype)
+    return z - jnp.where(z >= p, p, jnp.zeros_like(p)).astype(z.dtype)
 
 
 def eqmod(x, y):
@@ -110,17 +115,61 @@ def neqmod(x, y):
     return x != y
 
 
+def _barrett_mulmod_u16(x, y, p):
+    """x*y mod p for the 14-bit tier, entirely in uint32 lanes.
+
+    z = x*y < 2^28; with m = floor(2^32/p), q = hi32(z*m) satisfies
+    Q-2 < q <= Q (Q the true quotient), so z - q*p < 3p < 2^16 and two
+    conditional subtracts finish.  No division in the compiled program
+    (the m divide is over the [nmoduli,1] constant, folded by XLA).
+    """
+    p32 = p.astype(_U32)
+    m = ((_U64(1) << 32) // p.astype(_U64)).astype(_U32)
+    z = x.astype(_U32) * y.astype(_U32)
+    q = _mulhi_u32(z, m)
+    r = z - q * p32
+    r = r - jnp.where(r >= p32, p32, _U32(0))
+    r = r - jnp.where(r >= p32, p32, _U32(0))
+    return r.astype(_U16)
+
+
+def _barrett_mulmod_u32(x, y, p):
+    """x*y mod p for the 30-bit tier, entirely in uint32 lanes.
+
+    z = x*y < 2^60 as (hi, lo); a = z >> 28 < 2^32, m = floor(2^60/p)
+    (fits uint32 because p > 2^29), q = hi32(a*m) = floor(a*m/2^32).
+    q*p <= a*2^28 <= z and q > z/p - 3, so r = z - q*p (exact in wrapping
+    32-bit arithmetic since r < 4p < 2^32) needs at most a 2p- and a
+    p-subtract.  Replaces the widen-to-u64 `%` (emulated division on TPU).
+    """
+    m = ((_U64(1) << 60) // p.astype(_U64)).astype(_U32)
+    p32 = p.astype(_U32)
+    two_p = p32 * _U32(2)
+    hi = _mulhi_u32(x, y)
+    lo = x * y
+    a = (hi << 4) | (lo >> 28)
+    q = _mulhi_u32(a, m)
+    r = lo - q * p32
+    r = r - jnp.where(r >= two_p, two_p, _U32(0))
+    r = r - jnp.where(r >= p32, p32, _U32(0))
+    return r
+
+
 def mulmod(x, y, p, pn=None):
     """x * y mod p (generic path, reference ops.hpp:183-219).
 
-    u16/u32: exact product in the wider dtype, then %.
+    The reference widens u16/u32 and uses `%` (one CPU instruction there);
+    on TPU integer division is emulated, so those tiers use a Barrett
+    reduction in native 32-bit lanes instead (bit-identical results).
     u64: Newton-quotient reduction with the precomputed Pn low word
     (reference ops.hpp:201-219), since no 128-bit dtype exists on device.
     """
+    debug.op_check(p, x, y)
     dt = jnp.dtype(x.dtype)
-    if dt in _WIDER:
-        w = _WIDER[dt]
-        return ((x.astype(w) * y.astype(w)) % p.astype(w)).astype(dt)
+    if dt == jnp.dtype(jnp.uint16):
+        return _barrett_mulmod_u16(x, y, p)
+    if dt == jnp.dtype(jnp.uint32):
+        return _barrett_mulmod_u32(x, y, p)
     assert pn is not None, "mulmod on uint64 requires the Newton quotient pn"
     hi, lo = mul128(x, y)
     # q = Pn * (res >> 64) + (res << 2), keep only q >> 64
@@ -161,6 +210,7 @@ def mulmod_shoup(x, y, yprime, p):
     word arithmetic; one conditional subtract.  Exact for x, y < p when p has
     two spare bits in the limb (14/30/62-bit moduli do).
     """
+    debug.op_check(p, x, y)
     q = mulhi(x, yprime)
     r = x * y - q * p
     return r - jnp.where(r >= p, p, jnp.zeros_like(p)).astype(r.dtype)
@@ -173,19 +223,23 @@ def mulmod_shoup_lazy(x, y, yprime, p):
 
 
 def muladd(rop, x, y, p, pn=None):
-    """rop + x*y mod p (reference opt/ops.hpp:7-48)."""
+    """rop + x*y mod p (reference opt/ops.hpp:7-48): division-free
+    mulmod then a conditional-subtract add, all lanes-native."""
+    debug.op_check(p, rop, x, y)
     dt = jnp.dtype(x.dtype)
-    if dt in _WIDER:
-        w = _WIDER[dt]
-        res = (x.astype(w) * y.astype(w) + rop.astype(w)) % p.astype(w)
-        return res.astype(dt)
-    r = mulmod(x, y, p, pn)
+    if dt == jnp.dtype(jnp.uint16):
+        r = _barrett_mulmod_u16(x, y, p)
+    elif dt == jnp.dtype(jnp.uint32):
+        r = _barrett_mulmod_u32(x, y, p)
+    else:
+        r = mulmod(x, y, p, pn)
     r = r + rop
-    return r - jnp.where(r >= p, p, _U64(0))
+    return r - jnp.where(r >= p, p, jnp.zeros_like(p)).astype(r.dtype)
 
 
 def muladd_shoup(rop, x, y, yprime, p):
     """rop + x*y mod p via Shoup (reference opt/ops.hpp:54-78)."""
+    debug.op_check(p, rop, x, y)
     q = mulhi(x, yprime)
     r = rop + (x * y - q * p)
     return r - jnp.where(r >= p, p, jnp.zeros_like(p)).astype(r.dtype)

@@ -33,6 +33,51 @@ def test_in_range_passes():
     _ = (a + b).ntt_pow_phi()   # must not raise
 
 
+def test_lazy_intermediate_trips_inside_jit():
+    """Per-op bracket (reference debug.hpp:33-37 asserts inside every modular
+    functor): an out-of-range intermediate inside a jitted program trips the
+    modops-level check, not just the Poly operator boundary."""
+    import jax
+    from nfllib_tpu.ops import modops
+
+    ring = nfl.ring_from_modulus("u32", 64, 60)
+    ctx = ring.context()
+    p = jnp.asarray(ctx.p_col)
+
+    @jax.jit
+    def f(x):
+        lazy = x + x                  # raw sum, lands in [0, 2p): not strict
+        return modops.addmod(lazy, x, p)
+
+    x = jnp.full(ring.shape, jnp.uint32(int(ring.moduli[0]) - 1))
+    with pytest.raises(Exception, match="STRICTMOD"):
+        np.asarray(f(x))
+
+
+def test_eager_modops_check():
+    from nfllib_tpu.ops import modops
+    ring = nfl.ring_from_modulus("u32", 64, 60)
+    p = jnp.asarray(ring.context().p_col)
+    bad = jnp.full(ring.shape, jnp.uint32(0xFFFFFFFF))
+    good = jnp.zeros(ring.shape, jnp.uint32)
+    with pytest.raises(AssertionError, match="STRICTMOD"):
+        modops.submod(good, bad, p)
+    with pytest.raises(AssertionError, match="STRICTMOD"):
+        modops.mulmod(bad, good, p, jnp.asarray(ring.context().pn_col))
+
+
+def test_strict_toggle_retraces_cached_programs():
+    """Flipping strictmod must not reuse programs traced under the other
+    setting (the jit caches are keyed on the flag)."""
+    ring = nfl.ring_from_modulus("u32", 64, 60)
+    bad = nfl.Poly(jnp.full(ring.shape, jnp.uint32(0xFFFFFFFF)), ring)
+    debug.set_strictmod(False)
+    _ = (bad + bad).poly()            # traces the non-strict chain program
+    debug.set_strictmod(True)
+    with pytest.raises(Exception, match="STRICTMOD"):
+        _ = (bad + bad).poly()
+
+
 def test_flag_toggles():
     assert debug.strictmod_enabled()
     debug.set_strictmod(False)

@@ -101,6 +101,32 @@ def test_muladd(degree, agg, limb, rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("limb,agg", [("u16", 14), ("u32", 60), ("u64", 124)])
+def test_mulmod_muladd_boundary_values(limb, agg):
+    """Worst-case operands for the Barrett/Newton quotient error bounds:
+    p-1 squared maximizes z, tiny*huge mixes exercise the q underestimate."""
+    ring = make_ring(8, agg, limb)
+    ctx = ring.context()
+    p = jnp.asarray(ctx.p_col)
+    pn = jnp.asarray(ctx.pn_col)
+    m, n = ring.nmoduli, ring.degree
+    pv = np.asarray(ring.moduli, dtype=np.uint64)
+    picks = np.array([1, 2, 3, 0, 0, 0, 0, 0], dtype=np.uint64)
+    a = (pv[:, None] - 1 - picks[None, :]) % pv[:, None]
+    picks2 = np.array([1, 0, 1, 2, 1, 0, 2, 1], dtype=np.uint64)
+    b = np.where(picks2[None, :] == 0, pv[:, None] - 1, picks2[None, :])
+    a = a.astype(ring.dtype)
+    b = b.astype(ring.dtype)
+    got = np.asarray(modops.mulmod(jnp.asarray(a), jnp.asarray(b), p, pn))
+    want = _oracle_map(oracle.mulmod, a, b, ring=ring)
+    np.testing.assert_array_equal(got, want)
+    r = (b.astype(np.uint64) * 3 % pv[:, None]).astype(ring.dtype)
+    got = np.asarray(modops.muladd(
+        jnp.asarray(r), jnp.asarray(a), jnp.asarray(b), p, pn))
+    want = _oracle_map(oracle.muladd, r, a, b, ring=ring)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_poly_operator_sugar(rng):
     ring = nfl.ring_from_modulus("u32", 64, 60)
     a = nfl.Poly(jnp.asarray(rand_residues(ring, rng)), ring)
