@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -56,9 +57,28 @@ def keygen(ring: Ring, stream: Salsa20Stream,
     return LweKeys(s=s, sprime=sprime, pka=pka, pkb=pkb)
 
 
+def _use_fused_chain(ring) -> bool:
+    """Route whole encrypt/decrypt chains to the fused Pallas kernels
+    (ops/ntt_pallas.py lwe_*_fused: transform + pointwise combines in one
+    VMEM residency) on TPU; jnp graphs elsewhere.  NFL_TPU_NTT=jnp opts out,
+    =pallas/mxu forces (interpret mode off-TPU)."""
+    mode = os.environ.get("NFL_TPU_NTT", "auto")
+    if mode == "jnp":
+        return False
+    from ..ops import ntt_pallas
+    if not ntt_pallas.supports(ring):
+        return False
+    if mode in ("pallas", "mxu"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def _encrypt_graph(ctx, pka, pkb, u, e1, e2):
     """Pure compute graph on residue tensors; u/e1/e2 are coefficient-domain
     noise, outputs are the NTT-domain ciphertext halves."""
+    if _use_fused_chain(ctx.ring):
+        from ..ops import ntt_pallas
+        return ntt_pallas.lwe_encrypt_fused(u, e1, e2, pka, pkb, ctx)
     p_col = jnp.asarray(ctx.p_col)
     pn_col = jnp.asarray(ctx.pn_col)
     un = ntt.ntt_pow_phi(u, ctx)
@@ -69,11 +89,16 @@ def _encrypt_graph(ctx, pka, pkb, u, e1, e2):
     return resa, resb
 
 
-def _decrypt_graph(ctx, resa, resb, s):
+def _decrypt_graph(ctx, resa, resb, s, sprime):
     p_col = jnp.asarray(ctx.p_col)
-    pn_col = jnp.asarray(ctx.pn_col)
-    tmp = modops.submod(resb, modops.mulmod(resa, s, p_col, pn_col), p_col)
-    tmp = ntt.invntt_pow_invphi(tmp, ctx)
+    if _use_fused_chain(ctx.ring):
+        from ..ops import ntt_pallas
+        tmp = ntt_pallas.lwe_decrypt_fused(resa, resb, s, sprime, ctx)
+    else:
+        pn_col = jnp.asarray(ctx.pn_col)
+        tmp = modops.submod(resb, modops.mulmod(resa, s, p_col, pn_col),
+                            p_col)
+        tmp = ntt.invntt_pow_invphi(tmp, ctx)
     p0 = jnp.asarray(ctx.p[0])
     half = p0 // jnp.asarray(2, dtype=p0.dtype)
     bit = tmp % jnp.asarray(2, dtype=tmp.dtype)
@@ -104,7 +129,7 @@ def decrypt(keys: LweKeys, ring: Ring, resa: Poly, resb: Poly):
     """Decrypt to a per-(channel,coefficient) bit tensor (reference
     decrypt(), demo_main_op.cpp:48-58)."""
     _, dec = _jitted_graphs(ring)
-    return dec(resa.data, resb.data, keys.s.data)
+    return dec(resa.data, resb.data, keys.s.data, keys.sprime.data)
 
 
 def run_zero_sum_check(ring: Ring, repetitions: int = 10,
@@ -147,16 +172,26 @@ def encrypt_on_device(keys: LweKeys, ring: Ring, key: bytes, nonce: int,
 
     Distribution-equal to encrypt() (the device Gaussian is the
     fixed-consumption formulation; see prng/device_sampling.py)."""
-    register_gaussian(g_prng)
-    enc = _jitted_ondevice(ring, id(g_prng), key)
+    enc = _jitted_ondevice(ring, _gaussian_key(g_prng), key)
     resa, resb = enc(keys.pka.data, keys.pkb.data, nonce)
     return Poly(resa, ring), Poly(resb, ring)
 
 
+def _gaussian_key(g_prng: FastGaussianNoise) -> tuple:
+    """Value key for jit caches: a FastGaussianNoise's behavior is fully
+    determined by its constructor parameters (gaussian.py:64-88), so caching
+    on these is stable — unlike id(), which a GC'd-and-reallocated object
+    could silently alias."""
+    k = (g_prng.sigma, g_prng.security, g_prng.samples, g_prng.center,
+         g_prng.in_bits, g_prng.lu_depth)
+    _GPRNG_BY_KEY.setdefault(k, g_prng)
+    return k
+
+
 @functools.lru_cache(maxsize=None)
-def _jitted_ondevice(ring: Ring, g_id: int, key: bytes):
+def _jitted_ondevice(ring: Ring, g_key: tuple, key: bytes):
     ctx = ring.context()
-    g_prng = _GPRNG_BY_ID[g_id]
+    g_prng = _GPRNG_BY_KEY[g_key]
 
     def graph(pka, pkb, nonce):
         return _encrypt_on_device_graph(ctx, g_prng, key, nonce, pka, pkb)
@@ -164,9 +199,9 @@ def _jitted_ondevice(ring: Ring, g_id: int, key: bytes):
     return jax.jit(graph)
 
 
-_GPRNG_BY_ID = {}
+_GPRNG_BY_KEY = {}
 
 
-def register_gaussian(g_prng) -> int:
-    _GPRNG_BY_ID[id(g_prng)] = g_prng
-    return id(g_prng)
+def register_gaussian(g_prng) -> tuple:
+    """Kept for API compatibility; returns the stable value key."""
+    return _gaussian_key(g_prng)

@@ -72,22 +72,15 @@ def supports(ring) -> bool:
 
 
 # ---------------------------------------------------------------------------
-# host-side kernel tables (cached per ring context)
+# host-side kernel tables (cached per ring — Ring is frozen/hashable and
+# RingContext is lru-cached on it, so no id()-keyed registry is needed)
 # ---------------------------------------------------------------------------
-
-_CTX_BY_ID = {}
-
-
-def _register_ctx(ctx):
-    _CTX_BY_ID[id(ctx)] = ctx
-    return id(ctx)
 
 
 @functools.lru_cache(maxsize=None)
-def _kernel_tables(ctx_id, inverse):
+def _kernel_tables(ring, inverse):
     """Row-stage flat twiddles + lane-stage full-width twiddle vectors."""
-    ctx = _CTX_BY_ID[ctx_id]
-    ring = ctx.ring
+    ctx = ring.context()
     n = ring.degree
     m = ring.nmoduli
     w = ctx.invomegas if inverse else ctx.omegas
@@ -237,11 +230,13 @@ _VMEM_PER_CHAN_FACTOR = 22        # * n * 4 bytes
 _VMEM_LIMIT = 15 * 1024 * 1024
 
 
-def _channel_group(ring):
+def _channel_group(ring, factor=_VMEM_PER_CHAN_FACTOR):
     """(mg, padded_m): the largest channel-group size whose working set fits
-    VMEM, preferring groupings that minimize channel padding."""
+    VMEM, preferring groupings that minimize channel padding.  `factor` is
+    the empirical bytes-per-(channel*coefficient)/4 working-set estimate —
+    larger for the fused LWE kernels, which hold several transforms."""
     n, m = ring.degree, ring.nmoduli
-    per_chan = n * 4 * _VMEM_PER_CHAN_FACTOR
+    per_chan = n * 4 * factor
     mg_max = max(1, min(m, _VMEM_LIMIT // per_chan))
     # Bigger groups mean fewer programs and contiguous DMA (strided
     # per-channel blocks measured ~2.5x slower), so maximize mg first and
@@ -260,7 +255,7 @@ def _channel_group(ring):
 
 
 @functools.lru_cache(maxsize=None)
-def _build(ctx_id, stage_inverse, tables_inverse, twist, strict, interpret):
+def _build(ring, stage_inverse, tables_inverse, twist, strict, interpret):
     """One compiled kernel builder.
 
     stage_inverse=False, tables_inverse=False: forward NTT (+ phi twist).
@@ -269,8 +264,7 @@ def _build(ctx_id, stage_inverse, tables_inverse, twist, strict, interpret):
     stage_inverse=False, tables_inverse=True: forward pass with omega^-1
       twiddles (the jnp inv_ntt building block; differential tests only).
     """
-    ctx = _CTX_BY_ID[ctx_id]
-    ring = ctx.ring
+    ctx = ring.context()
     n, m = ring.degree, ring.nmoduli
     R = n // LANES
     log_r = static_log2(R)
@@ -279,7 +273,7 @@ def _build(ctx_id, stage_inverse, tables_inverse, twist, strict, interpret):
     mg, padded_m = _channel_group(ring)
 
     wmain, wsmain, lvec, lsvec = _kernel_tables(
-        ctx_id, tables_inverse or stage_inverse)
+        ring, tables_inverse or stage_inverse)
     cast = np.uint32
     if stage_inverse:
         tw = ctx.invpoly_times_invphis
@@ -351,11 +345,10 @@ def _run(x, ctx, stage_inverse, tables_inverse, twist, strict, interpret):
     ring = ctx.ring
     n, m = ring.degree, ring.nmoduli
     R = n // LANES
-    ctx_id = _register_ctx(ctx)
     x = jnp.asarray(x)
     batch = x.shape[:-2]
     xb = x.reshape((-1, m, R, LANES))
-    call, padded_m = _build(ctx_id, bool(stage_inverse), bool(tables_inverse),
+    call, padded_m = _build(ring, bool(stage_inverse), bool(tables_inverse),
                             bool(twist), bool(strict), bool(interpret))
     if padded_m != m:
         pad = jnp.zeros((xb.shape[0], padded_m - m, R, LANES),
@@ -383,3 +376,266 @@ def intt_bwd(x, ctx, *, untwist=True, strict=True, interpret=None):
     stage inversion (no permutations); untwist=True applies the fused
     n^-1 phi^-i scaling (bit-identical to ops/ntt.py's invntt_pow_invphi)."""
     return _run(x, ctx, True, True, untwist, strict, interpret)
+
+
+# ---------------------------------------------------------------------------
+# fused LWE chain kernels (reference tests/nfllib_demo_main_op.cpp:26-58):
+# the whole encrypt chain  NTT(u/e1/e2) ; resa=e1n+u*pka ; resb=e2n+u*pkb
+# and the whole decrypt head  t=resb-resa*s ; INTT(t) ; untwist
+# each run in ONE VMEM residency — no HBM round trips between the transform
+# and the pointwise ops.
+# ---------------------------------------------------------------------------
+
+# empirical VMEM working-set factors (bytes per channel*coeff / 4): the
+# encrypt program holds three live transforms + two outputs + pk operands,
+# the decrypt program two inputs + one transform + s operands
+_ENC_FACTOR = 3 * _VMEM_PER_CHAN_FACTOR + 24
+_DEC_FACTOR = 2 * _VMEM_PER_CHAN_FACTOR + 16
+
+
+def _strict1(x, p):
+    return x - jnp.where(x >= p, p, jnp.zeros_like(x))
+
+
+def _barrett_mul_kernel(x, y, p, bm, narrow):
+    """x*y mod p in uint32 lanes with the host-precomputed Barrett constant
+    bm (u16: floor(2^32/p); u32: floor(2^60/p)) — same math as
+    modops._barrett_mulmod_* but with bm as a kernel operand (Mosaic has no
+    64-bit integer ops to derive it in-kernel)."""
+    if narrow:
+        z = x * y                         # < 2^28, exact in uint32
+        q = modops._mulhi_u32(z, bm)
+        r = z - q * p
+        r = _strict1(r, p)
+        return _strict1(r, p)
+    hi = modops._mulhi_u32(x, y)
+    lo = x * y
+    a = (hi << 4) | (lo >> 28)
+    q = modops._mulhi_u32(a, bm)
+    r = lo - q * p
+    r = _strict1(r, p + p)
+    return _strict1(r, p)
+
+
+def _lwe_encrypt_kernel(n, log_r, narrow,
+                        x_ref, tw_ref, stw_ref, wmain_ref, wsmain_ref,
+                        lvec_ref, lsvec_ref, pk_ref, p_ref, bm_ref, o_ref):
+    p = p_ref[0]                          # [mg, 1, 1]
+    bm = bm_ref[0]
+    two_p = p + p
+    mulhi = _mulhi16_in32 if narrow else modops._mulhi_u32
+    x = x_ref[...]                        # [3, mg, R, 128]: u, e1, e2
+    pk = pk_ref[...]                      # [2, mg, R, 128]: pka, pkb
+    if narrow:
+        x = x.astype(jnp.uint32)
+        pk = pk.astype(jnp.uint32)
+    outs = []
+    for i in range(3):                    # three forward transforms in VMEM
+        xi = x[i]
+        q = mulhi(xi, stw_ref[...])       # fused phi^i twist
+        xi = xi * tw_ref[...] - q * p
+        xi = _strict1(xi, p)
+        xi = _row_stages(xi, wmain_ref, wsmain_ref, n, log_r, p, two_p, mulhi)
+        xi = _lane_stages(xi, lvec_ref, lsvec_ref, p, two_p, mulhi)
+        outs.append(_strict1(xi, p))
+    un, e1n, e2n = outs
+    resa = _strict1(e1n + _barrett_mul_kernel(un, pk[0], p, bm, narrow), p)
+    resb = _strict1(e2n + _barrett_mul_kernel(un, pk[1], p, bm, narrow), p)
+    o_ref[0] = resa.astype(o_ref.dtype)
+    o_ref[1] = resb.astype(o_ref.dtype)
+
+
+def _lwe_decrypt_kernel(n, log_r, narrow,
+                        x_ref, tw_ref, stw_ref, wmain_ref, wsmain_ref,
+                        lvec_ref, lsvec_ref, s_ref, sp_ref, p_ref, o_ref):
+    p = p_ref[0]
+    two_p = p + p
+    mulhi = _mulhi16_in32 if narrow else modops._mulhi_u32
+    x = x_ref[...]                        # [2, mg, R, 128]: resa, resb
+    s = s_ref[...]
+    sp = sp_ref[...]
+    if narrow:
+        x = x.astype(jnp.uint32)
+        s = s.astype(jnp.uint32)
+        sp = sp.astype(jnp.uint32)
+    q = mulhi(x[0], sp)                   # Shoup: resa * s, strict
+    t = _strict1(x[0] * s - q * p, p)
+    t = _strict1(x[1] + (p - t), p)       # resb - resa*s, strict
+    t = _lane_stages(t, lvec_ref, lsvec_ref, p, two_p, mulhi, inverse=True)
+    t = _row_stages(t, wmain_ref, wsmain_ref, n, log_r, p, two_p, mulhi,
+                    inverse=True)
+    q = mulhi(t, stw_ref[...])            # fused n^-1 phi^-i untwist
+    t = t * tw_ref[...] - q * p
+    o_ref[0] = _strict1(t, p).astype(o_ref.dtype)
+
+
+def _pad_chan(t, padded_m, axis=0):
+    m = t.shape[axis]
+    if padded_m == m:
+        return t
+    reps = np.concatenate([np.take(t, [0], axis=axis)] * (padded_m - m),
+                          axis=axis)
+    return np.concatenate([t, reps], axis=axis)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_lwe(ring, encrypt, interpret):
+    ctx = ring.context()
+    n, m = ring.degree, ring.nmoduli
+    R = n // LANES
+    log_r = static_log2(R)
+    dt = ring.dtype
+    narrow = ring.limb == "u16"
+    mg, padded_m = _channel_group(ring,
+                                  _ENC_FACTOR if encrypt else _DEC_FACTOR)
+    cast = np.uint32
+
+    wmain, wsmain, lvec, lsvec = _kernel_tables(ring, not encrypt)
+    if encrypt:
+        tw = ctx.phis.reshape(m, R, LANES).astype(cast)
+        stw = ctx.shoupphis.reshape(m, R, LANES).astype(cast)
+    else:
+        tw = ctx.invpoly_times_invphis.reshape(m, R, LANES).astype(cast)
+        stw = ctx.shoupinvpoly_times_invphis.reshape(m, R, LANES).astype(cast)
+    p_vec = ctx.p.reshape(m, 1, 1).astype(cast)
+    shift = 32 if narrow else 60
+    bm_vec = ((1 << shift) // ctx.p.astype(object)).astype(np.uint64)
+    bm_vec = bm_vec.astype(cast).reshape(m, 1, 1)
+
+    tw, stw = _pad_chan(tw, padded_m), _pad_chan(stw, padded_m)
+    wmain, wsmain = _pad_chan(wmain, padded_m), _pad_chan(wsmain, padded_m)
+    lvec, lsvec = _pad_chan(lvec, padded_m), _pad_chan(lsvec, padded_m)
+    p_vec = _pad_chan(p_vec, padded_m)
+    bm_vec = _pad_chan(bm_vec, padded_m)
+
+    nstack = 3 if encrypt else 2
+    kern = functools.partial(
+        _lwe_encrypt_kernel if encrypt else _lwe_decrypt_kernel,
+        n, log_r, narrow)
+
+    tab_spec = [
+        pl.BlockSpec((mg, R, LANES), lambda g, b: (g, _I0, _I0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((mg, R, LANES), lambda g, b: (g, _I0, _I0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((mg, 1, n - LANES), lambda g, b: (g, _I0, _I0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((mg, 1, n - LANES), lambda g, b: (g, _I0, _I0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((mg, LOG_LANES, LANES), lambda g, b: (g, _I0, _I0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((mg, LOG_LANES, LANES), lambda g, b: (g, _I0, _I0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    def call(xb, *operands):
+        """xb: [B*nstack, padded_m, R, 128] (stack folded into dim 0, batch-
+        major); encrypt operands: (pk2,) [2, padded_m, R, 128]; decrypt
+        operands: (s, sprime) each [padded_m, R, 128].  Returns
+        [B*2, padded_m, R, 128] (encrypt) / [B, padded_m, R, 128]."""
+        B = xb.shape[0] // nstack
+        grid = (padded_m // mg, B)
+        in_specs = [pl.BlockSpec((nstack, mg, R, LANES),
+                                 lambda g, b: (b, g, _I0, _I0),
+                                 memory_space=pltpu.VMEM)]
+        in_specs += tab_spec
+        if encrypt:
+            in_specs += [
+                pl.BlockSpec((2, mg, R, LANES), lambda g, b: (_I0, g, _I0, _I0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, mg, 1, 1), lambda g, b: (_I0, g, _I0, _I0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, mg, 1, 1), lambda g, b: (_I0, g, _I0, _I0),
+                             memory_space=pltpu.VMEM),
+            ]
+            out_spec = pl.BlockSpec((2, mg, R, LANES),
+                                    lambda g, b: (b, g, _I0, _I0),
+                                    memory_space=pltpu.VMEM)
+            out_shape = jax.ShapeDtypeStruct((B * 2, padded_m, R, LANES), dt)
+        else:
+            in_specs += [
+                pl.BlockSpec((mg, R, LANES), lambda g, b: (g, _I0, _I0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((mg, R, LANES), lambda g, b: (g, _I0, _I0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, mg, 1, 1), lambda g, b: (_I0, g, _I0, _I0),
+                             memory_space=pltpu.VMEM),
+            ]
+            out_spec = pl.BlockSpec((1, mg, R, LANES),
+                                    lambda g, b: (b, g, _I0, _I0),
+                                    memory_space=pltpu.VMEM)
+            out_shape = jax.ShapeDtypeStruct((B, padded_m, R, LANES), dt)
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(xb, jnp.asarray(tw), jnp.asarray(stw), jnp.asarray(wmain),
+          jnp.asarray(wsmain), jnp.asarray(lvec), jnp.asarray(lsvec),
+          *operands, jnp.asarray(p_vec[None]),
+          *((jnp.asarray(bm_vec[None]),) if encrypt else ()))
+
+    return call, padded_m
+
+
+def _stack_batch(polys, m, R):
+    """[..., m, n] tensors -> [B*k, m, R, 128], batch-major (b-th batch
+    element's k stack entries are contiguous rows, matching the kernel's
+    (nstack, ...) dim-0 blocks)."""
+    xs = [jnp.asarray(t).reshape((-1, m, R, LANES)) for t in polys]
+    return jnp.stack(xs, axis=1).reshape((-1, m, R, LANES))
+
+
+def lwe_encrypt_fused(u, e1, e2, pka, pkb, ctx, interpret=None):
+    """Fused LWE encrypt chain (reference demo encrypt, lines 26-45):
+    twist+NTT of u/e1/e2 and both muladd combines in one kernel pass.
+    u/e1/e2: [..., m, n] coefficient-domain noise; pka/pkb: [m, n] NTT-domain
+    public key.  Returns (resa, resb), bit-identical to the jnp graph."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ring = ctx.ring
+    n, m = ring.degree, ring.nmoduli
+    R = n // LANES
+    batch = jnp.asarray(u).shape[:-2]
+    call, padded_m = _build_lwe(ring, True, bool(interpret))
+    xb = _stack_batch([u, e1, e2], m, R)
+    pk = jnp.stack([jnp.asarray(pka).reshape(m, R, LANES),
+                    jnp.asarray(pkb).reshape(m, R, LANES)])
+    if padded_m != m:
+        xb = jnp.concatenate(
+            [xb, jnp.zeros((xb.shape[0], padded_m - m, R, LANES),
+                           xb.dtype)], axis=1)
+        pk = jnp.concatenate(
+            [pk, jnp.zeros((2, padded_m - m, R, LANES), pk.dtype)], axis=1)
+    out = call(xb, pk)
+    out = out[:, :m].reshape((-1, 2, m, R, LANES))
+    resa = out[:, 0].reshape(batch + (m, n))
+    resb = out[:, 1].reshape(batch + (m, n))
+    return resa, resb
+
+
+def lwe_decrypt_fused(resa, resb, s, sprime, ctx, interpret=None):
+    """Fused LWE decrypt head (reference demo decrypt, lines 48-58):
+    resb - resa*s (Shoup) and the untwisted INTT in one kernel pass.
+    Returns the coefficient-domain message-plus-noise tensor [..., m, n]."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ring = ctx.ring
+    n, m = ring.degree, ring.nmoduli
+    R = n // LANES
+    batch = jnp.asarray(resa).shape[:-2]
+    call, padded_m = _build_lwe(ring, False, bool(interpret))
+    xb = _stack_batch([resa, resb], m, R)
+    sk = jnp.asarray(s).reshape(m, R, LANES)
+    sp = jnp.asarray(sprime).reshape(m, R, LANES)
+    if padded_m != m:
+        xb = jnp.concatenate(
+            [xb, jnp.zeros((xb.shape[0], padded_m - m, R, LANES),
+                           xb.dtype)], axis=1)
+        pad1 = jnp.ones((padded_m - m, R, LANES), sk.dtype)
+        sk = jnp.concatenate([sk, pad1], axis=0)
+        sp = jnp.concatenate([sp, jnp.zeros_like(pad1)], axis=0)
+    out = call(xb, sk, sp)
+    return out[:, :m].reshape(batch + (m, n))
