@@ -50,9 +50,12 @@ def _pallas_backend(ring):
 
 
 def _use_fused_mxu(ring) -> bool:
-    """The fused MXU matmul kernel is ~2x the VPU butterfly kernel for its
-    supported shapes (square u32 degrees <= 2^14) — prefer it for the
-    forward transform."""
+    """Fused MXU matmul kernel dispatch.  Measured ~2x the VPU butterfly
+    kernel at degrees >= 4096 (docs/BENCHMARKS.md), so it owns that range;
+    below 4096 it owns only the configs the VPU kernel cannot take
+    (degree < 256, covering the reference's (8,60,u32) and (128,14,u16)
+    points with a real TPU kernel), pending an on-chip shootout of the
+    mid-range."""
     mode = os.environ.get("NFL_TPU_NTT", "auto")
     if mode in ("jnp", "pallas"):
         return False
@@ -61,7 +64,12 @@ def _use_fused_mxu(ring) -> bool:
         return False
     if mode == "mxu":
         return True
-    return jax.default_backend() == "tpu"
+    if jax.default_backend() != "tpu":
+        return False
+    if ring.degree >= 4096:
+        return True
+    from . import ntt_pallas
+    return not ntt_pallas.supports(ring)
 
 
 def _stage_tables(ctx: RingContext):

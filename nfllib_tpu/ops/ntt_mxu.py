@@ -17,14 +17,19 @@ so this path reformulates the NTT to spend its multiplies there:
        with W2[i2, k2] = w^(n1 * i2 * rev(k2));  O[r, c] = harvey[r*n2 + c].
 
 Modular matmul on the MXU: operands (< 2^30) split into four 8-bit limbs
-held exactly in bfloat16; each limb-pair product S_ab = A_a @ B_b
-accumulates exactly in float32 (<= 128 * 255^2 < 2^23 per term group, within
-the 2^24 f32 integer range); the 7 shifted groups recombine mod p with
-Shoup multiplications by 2^(8k) mod p on the VPU.
+held exactly in bfloat16; each limb-pair product S_ab = A_a @ B_b is an
+exact integer in float32 (<= k * 255^2 < 2^24 for contraction k <= 256);
+limb pairs sharing a shift accumulate in uint32 (group totals can exceed
+2^24), and the 7 shifted groups recombine mod p with Shoup multiplications
+by 2^(8k) mod p on the VPU.
 
-This module is the pure-jnp formulation (XLA schedules the MXU einsums and
-fuses the VPU stages); it currently covers square decompositions
-(n in {4096, 16384, 65536}) on the u32 tier, forward direction.
+The pure-jnp formulation (ntt_pow_phi_mxu: XLA schedules the MXU einsums and
+fuses the VPU stages) covers square decompositions on the u32 tier, forward
+direction — it exists for shootouts (tools/ntt_perfs.py); production dispatch
+uses the fused Pallas kernels below, which cover BOTH limb tiers (u32 with
+five 7/6-bit digits, u16 with two 7-bit digits) and every degree >= 8
+(rectangular n1 x n2 splits; for tiny degrees the matrices simply
+under-fill the MXU tile but still run in one VMEM residency).
 """
 from __future__ import annotations
 
@@ -49,30 +54,30 @@ def supports(ring) -> bool:
 
 
 def supports_fused(ring) -> bool:
-    """The fused int8 kernel covers every u32 degree >= 4096 (rectangular
-    n1 x n2 decompositions for odd log2; 6-bit digits once a contraction
-    dimension exceeds 128 so the packed limb-group sums stay under 2^31)."""
-    return ring.limb == "u32" and ring.degree >= 4096
+    """The fused int8 kernel covers the u16 and u32 tiers at every degree
+    >= 8 (rectangular n1 x n2 decompositions; digit widths chosen so every
+    packed limb-group sum stays under 2^32 — see _fused_geometry)."""
+    return ring.limb in ("u16", "u32") and ring.degree >= 8
 
 
-def _fused_geometry(n):
-    """(n1, n2, dbits): split n = n1*n2 with n1 <= n2, and pick the digit
-    width: 5 x 7-bit when both contractions are <= 128 (groups
-    <= 5*127^2*128 < 2^23.4, packed pairs < 2^31), else 5 x 6-bit
-    (<= 5*63^2*256 < 2^22.3, packed < 2^29)."""
+def _fused_geometry(n, limb="u32"):
+    """(n1, n2, dbits, ndig): split n = n1*n2 with n1 <= n2, and pick the
+    digit decomposition.
+
+    u32 (30-bit values): 5 digits; 7-bit while both contractions are <= 128
+    (groups <= 5*127^2*128 < 2^23.4, packed pairs < 2^31), else 6-bit
+    (<= 5*63^2*k; packed < 2^32 up to k = 3330 — far beyond the tier's
+    max n2 = 256).
+    u16 (14-bit values): 2 x 7-bit digits (groups <= 2*127^2*512 < 2^24.1,
+    the single packed term < 2^24.1 + 2^31.1 < 2^32 for the tier's max
+    contraction 512)."""
     lg = static_log2(n)
     n1 = 1 << (lg // 2)
     n2 = n // n1
+    if limb == "u16":
+        return n1, n2, 7, 2
     dbits = 7 if max(n1, n2) <= 128 else 6
-    return n1, n2, dbits
-
-
-_CTX_BY_ID = {}
-
-
-def _register_ctx(ctx):
-    _CTX_BY_ID[id(ctx)] = ctx
-    return id(ctx)
+    return n1, n2, dbits, 5
 
 
 def _limb_dtype():
@@ -92,9 +97,8 @@ def _decompose_int(mat):
 
 
 @functools.lru_cache(maxsize=None)
-def _tables(ctx_id):
-    ctx = _CTX_BY_ID[ctx_id]
-    ring = ctx.ring
+def _tables(ring):
+    ctx = ring.context()
     n, m = ring.degree, ring.nmoduli
     half = static_log2(n) // 2
     n1 = 1 << half
@@ -138,7 +142,12 @@ def _tables(ctx_id):
 
 def _mod_matmul_left(wdec, x, p3, pow2, pow2s):
     """W @ X mod p.  wdec: [4, m, r, k] bf16; x: [..., m, k, c] uint32 < p.
-    Returns [..., m, r, c] canonical."""
+    Returns [..., m, r, c] canonical.
+
+    Each single einsum result is an exact integer in f32 (<= k * 255^2
+    <= 256 * 255^2 < 2^24 for the tier's max contraction); limb-pair
+    results sharing a shift are accumulated in uint32 (exact), never in f32
+    — group sums can exceed the f32 2^24 integer range."""
     fdt = _limb_dtype()
     xl = [(x >> (_LBITS * b) & 0xFF).astype(fdt) for b in range(_LIMBS)]
     groups = [None] * (2 * _LIMBS - 1)
@@ -147,13 +156,15 @@ def _mod_matmul_left(wdec, x, p3, pow2, pow2s):
         for b in range(_LIMBS):
             s = jnp.einsum("mrk,...mkc->...mrc", wa, xl[b],
                            preferred_element_type=jnp.float32)
+            s = s.astype(jnp.uint32)
             k = a + b
             groups[k] = s if groups[k] is None else groups[k] + s
     return _recombine(groups, p3, pow2, pow2s)
 
 
 def _mod_matmul_right(x, wdec, p3, pow2, pow2s):
-    """X @ W mod p.  x: [..., m, r, k]; wdec: [4, m, k, c]."""
+    """X @ W mod p.  x: [..., m, r, k]; wdec: [4, m, k, c].  Same exact
+    uint32 group accumulation as _mod_matmul_left."""
     fdt = _limb_dtype()
     xl = [(x >> (_LBITS * b) & 0xFF).astype(fdt) for b in range(_LIMBS)]
     groups = [None] * (2 * _LIMBS - 1)
@@ -162,16 +173,17 @@ def _mod_matmul_right(x, wdec, p3, pow2, pow2s):
         for b in range(_LIMBS):
             s = jnp.einsum("...mrk,mkc->...mrc", xl[b], wa,
                            preferred_element_type=jnp.float32)
+            s = s.astype(jnp.uint32)
             k = a + b
             groups[k] = s if groups[k] is None else groups[k] + s
     return _recombine(groups, p3, pow2, pow2s)
 
 
 def _recombine(groups, p3, pow2, pow2s):
-    """sum_k 2^(8k) * G_k mod p; G_k exact integers < 2^25 in f32."""
+    """sum_k 2^(8k) * G_k mod p; G_k exact uint32 integers < 2^26."""
     acc = None
     for k, g in enumerate(groups):
-        gu = g.astype(jnp.uint32)
+        gu = g
         c = pow2[:, k][None, :, None, None] if pow2.ndim == 2 else pow2[k]
         cs = pow2s[:, k][None, :, None, None] if pow2s.ndim == 2 else pow2s[k]
         term = modops.mulmod_shoup_lazy(gu, c, cs, p3)    # < 2p
@@ -183,10 +195,9 @@ def _recombine(groups, p3, pow2, pow2s):
 def ntt_pow_phi_mxu(x, ctx):
     """Forward negacyclic transform via MXU matmuls; output bit-identical to
     ops/ntt.py ntt_pow_phi.  x: [..., m, n] uint32."""
-    ctx_id = _register_ctx(ctx)
-    (n1, n2, w1dec, w2dec, tw, tws, phis, sphis, pow2, pow2s) = \
-        _tables(ctx_id)
     ring = ctx.ring
+    (n1, n2, w1dec, w2dec, tw, tws, phis, sphis, pow2, pow2s) = \
+        _tables(ring)
     m, n = ring.nmoduli, ring.degree
     x = jnp.asarray(x)
     batch = x.shape[:-2]
@@ -223,24 +234,32 @@ def ntt_pow_phi_mxu(x, ctx):
 # Everything stays in VMEM; the 25x table blow-up streams once per channel
 # and is reused across the whole batch (grid is channel-major).
 
-_DIG = 5          # limbs per 30-bit value (7-bit or 6-bit digits; 5*6 = 30)
+_DIG = 5          # u32: limbs per 30-bit value (7/6-bit digits); u16 uses 2
+
+
+def _mulhi_for(ring):
+    """Shoup mulhi in uint32 lanes, per limb width (u16 shoup companions are
+    16-bit shifted; exact because operands < 2^16)."""
+    if ring.limb == "u16":
+        return lambda a, b: (a * b) >> 16
+    return modops._mulhi_u32
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_tables(ctx_id):
-    ctx = _CTX_BY_ID[ctx_id]
-    ring = ctx.ring
+def _fused_tables(ring):
+    ctx = ring.context()
     n, m = ring.degree, ring.nmoduli
-    n1, n2, dbits = _fused_geometry(n)
+    n1, n2, dbits, ndig = _fused_geometry(n, ring.limb)
     dmask = (1 << dbits) - 1
     rev1 = bitrev_indices(n1)
     rev2 = bitrev_indices(n2)
 
-    w1l = np.empty((m, _DIG * _DIG, n1, n1), dtype=np.int8)
-    w2l = np.empty((m, _DIG * _DIG, n2, n2), dtype=np.int8)
+    w1l = np.empty((m, ndig * ndig, n1, n1), dtype=np.int8)
+    w2l = np.empty((m, ndig * ndig, n2, n2), dtype=np.int8)
     tw = np.empty((m, n1, n2), dtype=np.uint32)
     tws = np.empty((m, n1, n2), dtype=np.uint32)
-    shoup1 = np.empty((m, 3), dtype=np.uint32)   # shoup consts for 1,2^14,2^28
+    shoup1 = np.empty((m, 3), dtype=np.uint32)  # shoup consts for 2^(2*db*j)
+    wshift = 16 if ring.limb == "u16" else 32
 
     for cm in range(m):
         p = int(ring.moduli[cm])
@@ -253,14 +272,14 @@ def _fused_tables(ctx_id):
         t = np.array([[pow(w, int(rev1[r]) * i2, p) for i2 in range(n2)]
                       for r in range(n1)], dtype=np.uint64)
         tw[cm] = t
-        tws[cm] = ((t.astype(object) << 32) // p).astype(np.uint64)
-        for b in range(_DIG):
+        tws[cm] = ((t.astype(object) << wshift) // p).astype(np.uint64)
+        for b in range(ndig):
             s1 = (e1 * pow(2, dbits * b, p)) % p
             s2 = (e2 * pow(2, dbits * b, p)) % p
-            for a in range(_DIG):
-                w1l[cm, _DIG * a + b] = ((s1 >> (dbits * a))
+            for a in range(ndig):
+                w1l[cm, ndig * a + b] = ((s1 >> (dbits * a))
                                          & dmask).astype(np.int8)
-                w2l[cm, _DIG * a + b] = ((s2 >> (dbits * a))
+                w2l[cm, ndig * a + b] = ((s2 >> (dbits * a))
                                          & dmask).astype(np.int8)
         for j in range(3):
             c = 1 << (2 * dbits * j)
@@ -272,24 +291,26 @@ def _fused_tables(ctx_id):
     return n1, n2, w1l, w2l, tw, tws, phis, sphis, shoup1, p_vec
 
 
-def _digitize_i8(x, dbits):
-    """u32 [r, c] -> list of five int8 [r, c] digit limbs."""
+def _digitize_i8(x, dbits, ndig):
+    """u32 [r, c] -> list of ndig int8 [r, c] digit limbs."""
     dmask = jnp.uint32((1 << dbits) - 1)
     return [((x >> (dbits * b)) & dmask).astype(jnp.int32)
-            .astype(jnp.int8) for b in range(_DIG)]
+            .astype(jnp.int8) for b in range(ndig)]
 
 
-def _mod_matmul_fused(xlimbs, w_ref, p, s1, s14, s28, left, dbits):
-    """sum_b W^(b) @ X_b mod p via 25 int8 MXU dots + 3-term recombination.
+def _mod_matmul_fused(xlimbs, w_ref, p, s1, s14, s28, left, dbits, ndig):
+    """sum_b W^(b) @ X_b mod p via ndig^2 int8 MXU dots + recombination.
 
-    xlimbs: five int8 [r, k] (or [k, c] for right-multiplication);
-    w_ref: [25, k, k] int8 table block (limb a major).  Returns u32 < p.
+    xlimbs: ndig int8 [r, k] (or [k, c] for right-multiplication);
+    w_ref: [ndig^2, k, k] int8 table block (limb a major).  Returns u32 < p.
+    u32 (ndig=5): three Shoup terms with shift multipliers; u16 (ndig=2):
+    one packed term, one Shoup reduction.
     """
     groups = []
-    for a in range(_DIG):
+    for a in range(ndig):
         acc = None
-        for b in range(_DIG):
-            wa = w_ref[_DIG * a + b]
+        for b in range(ndig):
+            wa = w_ref[ndig * a + b]
             if left:
                 s = jax.lax.dot_general(
                     wa, xlimbs[b], (((1,), (0,)), ((), ())),
@@ -300,6 +321,10 @@ def _mod_matmul_fused(xlimbs, w_ref, p, s1, s14, s28, left, dbits):
                     preferred_element_type=jnp.int32)
             acc = s if acc is None else acc + s
         groups.append(acc.astype(jnp.uint32))
+    if ndig == 2:
+        u0 = groups[0] + (groups[1] << dbits)
+        t = u0 - modops._mulhi_u32(u0, s1) * p          # < 2p
+        return t - jnp.where(t >= p, p, jnp.zeros_like(t))
     u0 = groups[0] + (groups[1] << dbits)
     u1 = groups[2] + (groups[3] << dbits)
     u2 = groups[4]
@@ -315,47 +340,48 @@ def _mod_matmul_fused(xlimbs, w_ref, p, s1, s14, s28, left, dbits):
     return t - jnp.where(t >= p, p, jnp.zeros_like(t))
 
 
-def _fused_kernel(dbits, x_ref, w1_ref, w2_ref, tw_ref, tws_ref, phi_ref,
-                  sphi_ref, sh_ref, p_ref, o_ref):
+def _fused_kernel(dbits, ndig, mulhi, x_ref, w1_ref, w2_ref, tw_ref, tws_ref,
+                  phi_ref, sphi_ref, sh_ref, p_ref, o_ref):
     p = p_ref[0, 0, 0]
     s1 = sh_ref[0, 0, 0]
     s14 = sh_ref[0, 0, 1]
     s28 = sh_ref[0, 0, 2]
-    x = x_ref[0, 0]                      # [n1, n2] u32 < p
+    x = x_ref[0, 0].astype(jnp.uint32)   # [n1, n2] < p
 
     # phi pre-twist (canonical)
-    q = modops._mulhi_u32(x, sphi_ref[0])
+    q = mulhi(x, sphi_ref[0])
     x = x * phi_ref[0] - q * p
     x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
 
     # column DFT
-    x = _mod_matmul_fused(_digitize_i8(x, dbits), w1_ref[0], p, s1, s14, s28,
-                          left=True, dbits=dbits)
+    x = _mod_matmul_fused(_digitize_i8(x, dbits, ndig), w1_ref[0], p,
+                          s1, s14, s28, left=True, dbits=dbits, ndig=ndig)
     # twiddle (canonical)
-    q = modops._mulhi_u32(x, tws_ref[0])
+    q = mulhi(x, tws_ref[0])
     x = x * tw_ref[0] - q * p
     x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
     # row DFT
-    x = _mod_matmul_fused(_digitize_i8(x, dbits), w2_ref[0], p, s1, s14, s28,
-                          left=False, dbits=dbits)
-    o_ref[0, 0] = x
+    x = _mod_matmul_fused(_digitize_i8(x, dbits, ndig), w2_ref[0], p,
+                          s1, s14, s28, left=False, dbits=dbits, ndig=ndig)
+    o_ref[0, 0] = x.astype(o_ref.dtype)
 
 
 @functools.lru_cache(maxsize=None)
-def _build_fused(ctx_id, interpret):
-    ctx = _CTX_BY_ID[ctx_id]
-    ring = ctx.ring
+def _build_fused(ring, interpret):
+    ctx = ring.context()
     m = ring.nmoduli
     n1, n2, w1l, w2l, tw, tws, phis, sphis, shoup1, p_vec = \
-        _fused_tables(ctx_id)
-    dbits = _fused_geometry(ring.degree)[2]
+        _fused_tables(ring)
+    dbits, ndig = _fused_geometry(ring.degree, ring.limb)[2:]
     _i0 = np.int32(0)
+
+    mulhi = _mulhi_for(ring)
 
     def call(xb):
         """xb: [B, m, n1, n2] -> same shape."""
         B = xb.shape[0]
         return pl.pallas_call(
-            functools.partial(_fused_kernel, dbits),
+            functools.partial(_fused_kernel, dbits, ndig, mulhi),
             grid=(m, B),          # batch innermost: tables stay resident
             in_specs=[
                 pl.BlockSpec((1, 1, n1, n2), lambda c, b: (b, c, _i0, _i0),
@@ -382,7 +408,7 @@ def _build_fused(ctx_id, interpret):
             out_specs=pl.BlockSpec((1, 1, n1, n2),
                                    lambda c, b: (b, c, _i0, _i0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct(xb.shape, jnp.uint32),
+            out_shape=jax.ShapeDtypeStruct(xb.shape, ring.dtype),
             interpret=interpret,
         )(xb, jnp.asarray(w1l), jnp.asarray(w2l), jnp.asarray(tw),
           jnp.asarray(tws), jnp.asarray(phis), jnp.asarray(sphis),
@@ -394,17 +420,16 @@ def _build_fused(ctx_id, interpret):
 
 def ntt_pow_phi_fused(x, ctx, *, interpret=None):
     """Forward negacyclic transform via the fused MXU Pallas kernel;
-    bit-identical to ops/ntt.py ntt_pow_phi.  u32, square degrees only."""
+    bit-identical to ops/ntt.py ntt_pow_phi.  u16/u32, any degree >= 8."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    ctx_id = _register_ctx(ctx)
     ring = ctx.ring
     m, n = ring.nmoduli, ring.degree
-    n1, n2, _ = _fused_geometry(n)
+    n1, n2 = _fused_geometry(n, ring.limb)[:2]
     x = jnp.asarray(x)
     batch = x.shape[:-2]
     xb = x.reshape((-1, m, n1, n2))
-    call = _build_fused(ctx_id, bool(interpret))
+    call = _build_fused(ring, bool(interpret))
     out = call(xb)
     return out.reshape(batch + (m, n))
 
@@ -423,20 +448,20 @@ def ntt_pow_phi_fused(x, ctx, *, interpret=None):
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_inv_tables(ctx_id):
-    ctx = _CTX_BY_ID[ctx_id]
-    ring = ctx.ring
+def _fused_inv_tables(ring):
+    ctx = ring.context()
     n, m = ring.degree, ring.nmoduli
-    n1, n2, dbits = _fused_geometry(n)
+    n1, n2, dbits, ndig = _fused_geometry(n, ring.limb)
     dmask = (1 << dbits) - 1
     rev1 = bitrev_indices(n1)
     rev2 = bitrev_indices(n2)
 
-    w1l = np.empty((m, _DIG * _DIG, n1, n1), dtype=np.int8)
-    w2l = np.empty((m, _DIG * _DIG, n2, n2), dtype=np.int8)
+    w1l = np.empty((m, ndig * ndig, n1, n1), dtype=np.int8)
+    w2l = np.empty((m, ndig * ndig, n2, n2), dtype=np.int8)
     tw = np.empty((m, n1, n2), dtype=np.uint32)
     tws = np.empty((m, n1, n2), dtype=np.uint32)
     shoup1 = np.empty((m, 3), dtype=np.uint32)
+    wshift = 16 if ring.limb == "u16" else 32
 
     for cm in range(m):
         p = int(ring.moduli[cm])
@@ -450,14 +475,14 @@ def _fused_inv_tables(ctx_id):
         t = np.array([[pow(iw, int(rev1[r]) * i2, p) for i2 in range(n2)]
                       for r in range(n1)], dtype=np.uint64)       # Tinv
         tw[cm] = t
-        tws[cm] = ((t.astype(object) << 32) // p).astype(np.uint64)
-        for b in range(_DIG):
+        tws[cm] = ((t.astype(object) << wshift) // p).astype(np.uint64)
+        for b in range(ndig):
             s1 = (e1 * pow(2, dbits * b, p)) % p
             s2 = (e2 * pow(2, dbits * b, p)) % p
-            for a in range(_DIG):
-                w1l[cm, _DIG * a + b] = ((s1 >> (dbits * a))
+            for a in range(ndig):
+                w1l[cm, ndig * a + b] = ((s1 >> (dbits * a))
                                          & dmask).astype(np.int8)
-                w2l[cm, _DIG * a + b] = ((s2 >> (dbits * a))
+                w2l[cm, ndig * a + b] = ((s2 >> (dbits * a))
                                          & dmask).astype(np.int8)
         for j in range(3):
             c = 1 << (2 * dbits * j)
@@ -469,45 +494,45 @@ def _fused_inv_tables(ctx_id):
     return n1, n2, w1l, w2l, tw, tws, ivp, sivp, shoup1, p_vec
 
 
-def _fused_inv_kernel(dbits, x_ref, w1_ref, w2_ref, tw_ref, tws_ref,
-                      ivp_ref, sivp_ref, sh_ref, p_ref, o_ref):
+def _fused_inv_kernel(dbits, ndig, mulhi, x_ref, w1_ref, w2_ref, tw_ref,
+                      tws_ref, ivp_ref, sivp_ref, sh_ref, p_ref, o_ref):
     p = p_ref[0, 0, 0]
     s1 = sh_ref[0, 0, 0]
     s14 = sh_ref[0, 0, 1]
     s28 = sh_ref[0, 0, 2]
-    x = x_ref[0, 0]                      # [n1, n2] u32 < p (Harvey order)
+    x = x_ref[0, 0].astype(jnp.uint32)   # [n1, n2] < p (Harvey order)
 
     # row inverse DFT: right-multiply by W2inv
-    x = _mod_matmul_fused(_digitize_i8(x, dbits), w2_ref[0], p, s1, s14, s28,
-                          left=False, dbits=dbits)
+    x = _mod_matmul_fused(_digitize_i8(x, dbits, ndig), w2_ref[0], p,
+                          s1, s14, s28, left=False, dbits=dbits, ndig=ndig)
     # inverse twiddle
-    q = modops._mulhi_u32(x, tws_ref[0])
+    q = mulhi(x, tws_ref[0])
     x = x * tw_ref[0] - q * p
     x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
     # column inverse DFT: left-multiply by W1inv
-    x = _mod_matmul_fused(_digitize_i8(x, dbits), w1_ref[0], p, s1, s14, s28,
-                          left=True, dbits=dbits)
+    x = _mod_matmul_fused(_digitize_i8(x, dbits, ndig), w1_ref[0], p,
+                          s1, s14, s28, left=True, dbits=dbits, ndig=ndig)
     # fused n^-1 * phi^-i untwist
-    q = modops._mulhi_u32(x, sivp_ref[0])
+    q = mulhi(x, sivp_ref[0])
     x = x * ivp_ref[0] - q * p
     x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
-    o_ref[0, 0] = x
+    o_ref[0, 0] = x.astype(o_ref.dtype)
 
 
 @functools.lru_cache(maxsize=None)
-def _build_fused_inv(ctx_id, interpret):
-    ctx = _CTX_BY_ID[ctx_id]
-    ring = ctx.ring
+def _build_fused_inv(ring, interpret):
+    ctx = ring.context()
     m = ring.nmoduli
     n1, n2, w1l, w2l, tw, tws, ivp, sivp, shoup1, p_vec = \
-        _fused_inv_tables(ctx_id)
-    dbits = _fused_geometry(ring.degree)[2]
+        _fused_inv_tables(ring)
+    dbits, ndig = _fused_geometry(ring.degree, ring.limb)[2:]
     _i0 = np.int32(0)
+    mulhi = _mulhi_for(ring)
 
     def call(xb):
         B = xb.shape[0]
         return pl.pallas_call(
-            functools.partial(_fused_inv_kernel, dbits),
+            functools.partial(_fused_inv_kernel, dbits, ndig, mulhi),
             grid=(m, B),
             in_specs=[
                 pl.BlockSpec((1, 1, n1, n2), lambda c, b: (b, c, _i0, _i0),
@@ -534,7 +559,7 @@ def _build_fused_inv(ctx_id, interpret):
             out_specs=pl.BlockSpec((1, 1, n1, n2),
                                    lambda c, b: (b, c, _i0, _i0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct(xb.shape, jnp.uint32),
+            out_shape=jax.ShapeDtypeStruct(xb.shape, ring.dtype),
             interpret=interpret,
         )(xb, jnp.asarray(w1l), jnp.asarray(w2l), jnp.asarray(tw),
           jnp.asarray(tws), jnp.asarray(ivp), jnp.asarray(sivp),
@@ -545,16 +570,15 @@ def _build_fused_inv(ctx_id, interpret):
 
 def invntt_pow_invphi_fused(x, ctx, *, interpret=None):
     """Inverse negacyclic transform via the fused MXU Pallas kernel;
-    bit-identical to ops/ntt.py invntt_pow_invphi."""
+    bit-identical to ops/ntt.py invntt_pow_invphi.  u16/u32, degree >= 8."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    ctx_id = _register_ctx(ctx)
     ring = ctx.ring
     m, n = ring.nmoduli, ring.degree
-    n1, n2, _ = _fused_geometry(n)
+    n1, n2 = _fused_geometry(n, ring.limb)[:2]
     x = jnp.asarray(x)
     batch = x.shape[:-2]
     xb = x.reshape((-1, m, n1, n2))
-    call = _build_fused_inv(ctx_id, bool(interpret))
+    call = _build_fused_inv(ring, bool(interpret))
     out = call(xb)
     return out.reshape(batch + (m, n))

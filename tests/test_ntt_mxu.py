@@ -15,11 +15,16 @@ def test_supports():
     assert not ntt_mxu.supports(nfl.Ring("u32", 8192, 2))   # odd log2
     assert not ntt_mxu.supports(nfl.Ring("u16", 512, 1))    # not u32
     assert not ntt_mxu.supports(nfl.Ring("u64", 4096, 1))
-    # the fused kernel covers rectangular decompositions too
-    for deg in (4096, 8192, 16384, 32768):
+    # the fused kernel covers rectangular decompositions, small degrees and
+    # the u16 tier (every reference config point, tests/CMakeLists.txt:2-7)
+    for deg in (8, 1024, 4096, 8192, 16384, 32768):
         assert ntt_mxu.supports_fused(nfl.Ring("u32", deg, 2))
-    assert not ntt_mxu.supports_fused(nfl.Ring("u32", 2048, 2))
-    assert ntt_mxu._fused_geometry(32768) == (128, 256, 6)
+    for deg in (8, 128, 512):
+        assert ntt_mxu.supports_fused(nfl.Ring("u16", deg, 1))
+    assert not ntt_mxu.supports_fused(nfl.Ring("u64", 8192, 2))
+    assert ntt_mxu._fused_geometry(32768) == (128, 256, 6, 5)
+    assert ntt_mxu._fused_geometry(1024) == (32, 32, 7, 5)
+    assert ntt_mxu._fused_geometry(128, "u16") == (8, 16, 7, 2)
 
 
 @pytest.mark.parametrize("degree,agg,limb", [(4096, 60, "u32")])
@@ -32,8 +37,20 @@ def test_matches_jnp(degree, agg, limb, rng):
     np.testing.assert_array_equal(want, got)
 
 
-@pytest.mark.parametrize("degree,agg,limb", [(4096, 60, "u32"),
-                                             (8192, 60, "u32")])
+FUSED_CONFIGS = [
+    (8, 60, "u32"),            # reference config point 1
+    (64, 60, "u32"),
+    (1024, 60, "u32"),         # reference config point 3
+    (4096, 60, "u32"),
+    (8192, 60, "u32"),
+    (128, 14, "u16"),          # reference config point 2
+    (512, 14, "u16"),          # u16 max degree (contraction 32)
+]
+
+SLOW_FUSED = [(32768, 60, "u32")]   # 6-bit digit geometry (interpret: slow)
+
+
+@pytest.mark.parametrize("degree,agg,limb", FUSED_CONFIGS)
 def test_fused_kernel_matches_jnp(degree, agg, limb, rng):
     ring = nfl.ring_from_modulus(limb, degree, agg)
     ctx = ring.context()
@@ -43,7 +60,7 @@ def test_fused_kernel_matches_jnp(degree, agg, limb, rng):
     np.testing.assert_array_equal(want, got)
 
 
-@pytest.mark.parametrize("degree,agg,limb", [(4096, 60, "u32")])
+@pytest.mark.parametrize("degree,agg,limb", FUSED_CONFIGS)
 def test_fused_inverse_matches_jnp(degree, agg, limb, rng):
     ring = nfl.ring_from_modulus(limb, degree, agg)
     ctx = ring.context()
@@ -53,3 +70,18 @@ def test_fused_inverse_matches_jnp(degree, agg, limb, rng):
     got = np.asarray(ntt_mxu.invntt_pow_invphi_fused(f, ctx, interpret=True))
     np.testing.assert_array_equal(want, got)
     np.testing.assert_array_equal(want, x)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("degree,agg,limb", SLOW_FUSED)
+def test_fused_6bit_geometry_roundtrip(degree, agg, limb, rng):
+    """The 6-bit digit branch (contraction > 128) was previously untested
+    (round-1 advisor finding)."""
+    ring = nfl.ring_from_modulus(limb, degree, agg)
+    ctx = ring.context()
+    x = rand_residues(ring, rng)
+    f = np.asarray(ntt_mxu.ntt_pow_phi_fused(x, ctx, interpret=True))
+    want = np.asarray(ntt_jnp.ntt_pow_phi(x, ctx))
+    np.testing.assert_array_equal(want, f)
+    back = np.asarray(ntt_mxu.invntt_pow_invphi_fused(f, ctx, interpret=True))
+    np.testing.assert_array_equal(back, x)
