@@ -53,7 +53,8 @@ def keygen(ring: Ring, stream: Salsa20Stream,
     sprime = compute_shoup(s)
     pka = Poly.sample(ring, uniform(), stream)
     pkb = Poly.sample(ring, gaussian(g_prng, 2), stream).ntt_pow_phi()
-    pkb = pkb + shoup(pka * s, sprime)
+    # force the lazy chain: keys are long-lived Polys, not deferred Exprs
+    pkb = (pkb + shoup(pka * s, sprime)).poly()
     return LweKeys(s=s, sprime=sprime, pka=pka, pkb=pkb)
 
 

@@ -180,6 +180,23 @@ class Poly:
         return (f"Poly(ring={self.ring.limb}/n={self.ring.degree}"
                 f"/m={self.ring.nmoduli}, batch={self.batch_shape})")
 
+    def __str__(self):
+        """Reference operator<< format (core.hpp:398-421): residues in
+        storage order as a C initializer list with the limb suffix printed
+        AFTER each value-but-the-first's predecessor — i.e.
+        '{ 1UL, 2UL, 3UL }' for u32 (suffixes ULL/UL/U per limb)."""
+        term = {"u64": "ULL", "u32": "UL", "u16": "U"}[self.ring.limb]
+        out = ["{ "]
+        first = True
+        for v in self:
+            if first:
+                first = False
+                out.append(str(v))
+            else:
+                out.append(f"{term}, {v}")
+        out.append(f"{term} }}")
+        return "".join(out)
+
     # --- helpers -------------------------------------------------------------
     def _ctx(self):
         return self.ring.context()
@@ -375,16 +392,22 @@ class Expr:
         return tuple(parts)
 
     def poly(self) -> Poly:
-        if self._val is None:
-            leaves: list = []
-            key = self._flatten(leaves, {})
-            if debug.strictmod_enabled():
-                p = jnp.asarray(self.ring.context().p_col)
-                for leaf in leaves:
-                    debug.check_residues(leaf.data, p)
-            out = _chain_program(self.ring, key)(*[l.data for l in leaves])
-            object.__setattr__(self, "_val", Poly(out, self.ring))
-        return self._val
+        if self._val is not None:
+            return self._val
+        leaves: list = []
+        key = self._flatten(leaves, {})
+        if debug.strictmod_enabled():
+            p = jnp.asarray(self.ring.context().p_col)
+            for leaf in leaves:
+                debug.check_residues(leaf.data, p)
+        out = _chain_program(self.ring, key)(*[l.data for l in leaves])
+        val = Poly(out, self.ring)
+        # Memoize only concrete results: forcing inside an outer jit trace
+        # yields tracers, and caching one would leak it out of the trace
+        # (jax UnexpectedTracerError on the next access).
+        if not isinstance(out, jax.core.Tracer):
+            object.__setattr__(self, "_val", val)
+        return val
 
     @property
     def data(self):
@@ -431,6 +454,9 @@ class Expr:
     def __repr__(self):
         leaves: list = []
         return f"Expr({self._flatten(leaves, {})!r}, nleaves={len(leaves)})"
+
+    def __str__(self):
+        return str(self.poly())
 
     def __getattr__(self, name):
         # forward the full Poly surface (ntt_pow_phi, mulmod, serialization…)

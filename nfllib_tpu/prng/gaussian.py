@@ -209,6 +209,7 @@ class FastGaussianNoise:
             for j in range(wp):
                 self.barrier_words[b, j] = self._word(self.barriers[b], j)
 
+
     # -- host sampling: exact stream-consumption emulation (:478-595) --------
     def get_noise(self, stream: Salsa20Stream, rlen: int) -> np.ndarray:
         from .. import native

@@ -69,6 +69,24 @@ def test_device_gaussian_matches_fixed_host_mirror(fg):
         np.testing.assert_array_equal(got[cm].astype(np.int64), want)
 
 
+@pytest.mark.parametrize("sigma", [20.0, 80.0])
+def test_device_gaussian_large_sigma_matches_mirror(sigma):
+    """Wide Gaussians have many more barriers (nb ~ 2*ceil(t*sigma)) and
+    exercise deeper binary searches (incl. heavily-clustered tail barriers
+    that differ only in deep words); outputs must equal the exact host
+    mirror."""
+    fg = FastGaussianNoise(sigma, 128, 1 << 10)
+    ring = make_ring(512, 60, "u32")
+    n, wp = ring.degree, fg.word_precision
+    raw = np.frombuffer(Salsa20Stream(KEY, nonce=9).randombytes(n * wp),
+                        dtype=np.uint8).reshape(n, wp).astype(np.uint16)
+    want_noise = fg.get_noise_fixed(raw)
+    got = np.asarray(dev.device_gaussian(ring, KEY, 9, sampling.gaussian(fg)))
+    p = int(ring.moduli[0])
+    want = np.where(want_noise < 0, p + want_noise, want_noise)
+    np.testing.assert_array_equal(got[0].astype(np.int64), want)
+
+
 def test_device_gaussian_moments(fg):
     ring = make_ring(8192, 60, "u32")
     got = np.asarray(dev.device_gaussian(ring, KEY, 11,

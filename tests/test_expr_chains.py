@@ -79,6 +79,26 @@ def test_expr_forwards_poly_surface(ring, rng):
     assert e(0, 0) == int(poly_mod._as_poly(a + b).data[0, 0])
 
 
+def test_forcing_inside_jit_does_not_leak_tracer(ring, rng):
+    """An Expr built from concrete Polys but first forced INSIDE a jitted
+    function must not memoize the traced value (regression: jax
+    UnexpectedTracerError on the next outside-jit access)."""
+    import jax
+
+    a, b = _mk(ring, rng, 2)
+    e = a + b                           # concrete leaves, unforced
+
+    @jax.jit
+    def f(x):
+        return x + e.data               # forces e under the trace
+
+    _ = np.asarray(f(a.data))
+    # second access outside the trace: must re-evaluate, not return a tracer
+    outside = np.asarray(e.data)
+    want = np.asarray(poly_mod._as_poly(a + b).data)
+    np.testing.assert_array_equal(outside, want)
+
+
 def test_ring_mismatch_raises(ring, rng):
     other = nfl.ring_from_modulus("u32", 512, 60)
     a = nfl.Poly(rand_residues(ring, rng), ring)

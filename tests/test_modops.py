@@ -165,6 +165,24 @@ def test_from_coeffs_set_semantics():
         nfl.Poly.from_coeffs(ring, list(range(9)))  # > degree, != m*n
 
 
+def test_stream_printer():
+    """Reference operator<< format (core.hpp:398-421; tests/nfl_stream.cpp
+    gates on str(p)[:4] == '{ 1U' for p = 1)."""
+    for limb, agg, suffix in [("u16", 28, "U"), ("u32", 60, "UL"),
+                              ("u64", 124, "ULL")]:
+        ring = nfl.ring_from_modulus(limb, 8, agg)
+        p = nfl.Poly.constant(ring, 1)
+        s = str(p)
+        assert s[:4] == "{ 1U"
+        assert s.startswith("{ 1" + suffix + ", 0" + suffix)
+        assert s.endswith("0" + suffix + " }")
+        assert s.count(",") == ring.nmoduli * ring.degree - 1
+    # Expr forwards the printer through evaluation
+    ring = nfl.ring_from_modulus("u32", 8, 60)
+    one = nfl.Poly.constant(ring, 1)
+    assert str(one + nfl.Poly.zeros(ring))[:4] == "{ 1U"
+
+
 def test_free_functions_and_accessors(rng):
     """API parity: nfl.add/sub/mul free functions (reference poly.hpp:314-332),
     (cm,i) accessor and storage-order iteration (poly.hpp:156-158)."""

@@ -23,6 +23,8 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 import nfllib_tpu as nfl  # noqa: E402
+from nfllib_tpu import profiling  # noqa: E402
+from nfllib_tpu.apps import lwe  # noqa: E402
 from nfllib_tpu.ops import modops, ntt as ntt_mod  # noqa: E402
 from nfllib_tpu.prng.salsa20 import Salsa20Stream  # noqa: E402
 from nfllib_tpu.prng.gaussian import FastGaussianNoise  # noqa: E402
@@ -74,12 +76,15 @@ def _time_device(fn_one, x, reps=5, chain=64):
 
 
 def _time_host(fn, reps=20):
+    """us per call, best-of-reps (profiling.WallTimer is the chrono-style
+    accumulator mirroring reference tests/tools.h:28-33)."""
     best = float("inf")
     for _ in range(reps):
-        t0 = time.perf_counter()
-        fn()
-        best = min(best, time.perf_counter() - t0)
-    return best * 1e6
+        t = profiling.WallTimer()
+        with t.measure():
+            fn()
+        best = min(best, t.mean_us)
+    return best
 
 
 def bench_config(degree, agg, limb, csv=False):
@@ -120,6 +125,22 @@ def bench_config(degree, agg, limb, csv=False):
     rec("invntt_pow_invphi",
         _time_device(lambda v: ntt_mod.invntt_pow_invphi(v, ctx), a))
 
+    # end-to-end LWE chains (reference demo encrypt/decrypt timing,
+    # nfllib_demo_main_op.cpp:292-311); on TPU these route through the fused
+    # Pallas chain kernels (ops/ntt_pallas.py lwe_*_fused)
+    stream = Salsa20Stream(b"\x11" * 32)
+    g = lwe.make_gaussian_prng(samples=max(degree, 1 << 10))
+    keys = lwe.keygen(ring, stream, g)
+    e2 = jnp.asarray(_rand(ring, rng))
+    rec("lwe encrypt (chain)", _time_device(
+        lambda v: lwe._encrypt_graph(ctx, keys.pka.data, keys.pkb.data,
+                                     v, b, e2)[0], a))
+    resa, resb = jax.jit(lambda u: lwe._encrypt_graph(
+        ctx, keys.pka.data, keys.pkb.data, u, b, e2))(a)
+    rec("lwe decrypt (chain)", _time_device(
+        lambda v: lwe._decrypt_graph(ctx, v, resb, keys.s.data,
+                                     keys.sprime.data), resa))
+
     # host sampling (per poly)
     s = Salsa20Stream(b"\x13" * 32)
     rows.append(("uniform (host)",
@@ -147,10 +168,22 @@ def main():
     ap.add_argument("--config", type=int, default=None,
                     help="index into the 5-point matrix (default: all)")
     ap.add_argument("--csv", action="store_true")
+    ap.add_argument("--trace", metavar="DIR", default=None,
+                    help="capture a jax.profiler device trace to DIR "
+                         "(view with TensorBoard/XProf)")
     args = ap.parse_args()
     cfgs = CONFIGS if args.config is None else [CONFIGS[args.config]]
-    for degree, agg, limb in cfgs:
-        bench_config(degree, agg, limb, csv=args.csv)
+
+    def run_all():
+        for degree, agg, limb in cfgs:
+            with profiling.annotate(f"bench_n{degree}_{limb}"):
+                bench_config(degree, agg, limb, csv=args.csv)
+
+    if args.trace:
+        with profiling.trace(args.trace):
+            run_all()
+    else:
+        run_all()
 
 
 if __name__ == "__main__":
