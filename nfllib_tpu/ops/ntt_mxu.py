@@ -27,9 +27,10 @@ The pure-jnp formulation (ntt_pow_phi_mxu: XLA schedules the MXU einsums and
 fuses the VPU stages) covers square decompositions on the u32 tier, forward
 direction — it exists for shootouts (tools/ntt_perfs.py); production dispatch
 uses the fused Pallas kernels below, which cover BOTH limb tiers (u32 with
-five 7/6-bit digits, u16 with two 7-bit digits) and every degree >= 8
-(rectangular n1 x n2 splits; for tiny degrees the matrices simply
-under-fill the MXU tile but still run in one VMEM residency).
+four BALANCED signed 8-bit digits — 16 int8 dots, see _fused_geometry; u16
+with two 7-bit digits) and every degree >= 8 (rectangular n1 x n2 splits;
+for tiny degrees the matrices simply under-fill the MXU tile but still run
+in one VMEM residency).
 """
 from __future__ import annotations
 
@@ -64,20 +65,35 @@ def _fused_geometry(n, limb="u32"):
     """(n1, n2, dbits, ndig): split n = n1*n2 with n1 <= n2, and pick the
     digit decomposition.
 
-    u32 (30-bit values): 5 digits; 7-bit while both contractions are <= 128
-    (groups <= 5*127^2*128 < 2^23.4, packed pairs < 2^31), else 6-bit
-    (<= 5*63^2*k; packed < 2^32 up to k = 3330 — far beyond the tier's
-    max n2 = 256).
-    u16 (14-bit values): 2 x 7-bit digits (groups <= 2*127^2*512 < 2^24.1,
-    the single packed term < 2^24.1 + 2^31.1 < 2^32 for the tier's max
-    contraction 512)."""
+    u32 (30-bit values): 4 BALANCED 8-bit digits d in [-128, 128) — signed
+    int8 covers a full 8-bit digit, so 16 MXU dots replace the 25 of an
+    unsigned 5 x 7-bit split.  |group| <= 4*128^2*k = 2^16*k < 2^25 for the
+    tier's max contraction 512, exact in the int32 MXU accumulator.
+    u16 (14-bit values): 2 x 7-bit unsigned digits (groups
+    <= 2*127^2*512 < 2^24.1; already the minimum dot count)."""
     lg = static_log2(n)
     n1 = 1 << (lg // 2)
     n2 = n // n1
     if limb == "u16":
         return n1, n2, 7, 2
-    dbits = 7 if max(n1, n2) <= 128 else 6
-    return n1, n2, dbits, 5
+    return n1, n2, 8, 4
+
+
+def _balanced_digits_host(v):
+    """uint64 [r, c] (< 2^31) -> [4, r, c] int8 balanced base-256 digits:
+    v = sum_a d_a * 256^a with d_a in [-128, 128)."""
+    v = v.astype(np.int64)
+    digs = []
+    carry = np.zeros_like(v)
+    for a in range(3):
+        u = ((v >> (8 * a)) & 0xFF) + carry
+        carry = (u >= 128).astype(np.int64)
+        digs.append(u - (carry << 8))
+    top = (v >> 24) + carry          # < 2^7 for v < 2^31 - 2^24
+    digs.append(top)
+    out = np.stack(digs, axis=0)
+    assert out.min() >= -128 and out.max() <= 127
+    return out.astype(np.int8)
 
 
 def _limb_dtype():
@@ -221,21 +237,21 @@ def ntt_pow_phi_mxu(x, ctx):
 # Fused Pallas kernel: MXU matmuls + VPU recombination in VMEM
 # ---------------------------------------------------------------------------
 #
-# Key trick vs the jnp path above: for each 7-bit input limb b of X, the DFT
-# matrix is pre-scaled host-side as W^(b) = (2^(7b) * W) mod p, so
+# Key trick vs the jnp path above: for each input digit b of X, the DFT
+# matrix is pre-scaled host-side as W^(b) = (2^(dbits*b) * W) mod p, so
 #     W @ X = sum_b W^(b) @ X_b   (mod p)
-# and decomposing each W^(b) into five 7-bit limbs a gives
-#     sum_a 2^(7a) * [ sum_b W^(b)_a @ X_b ]  =  sum_a 2^(7a) * G_a.
-# The b-sum happens INSIDE the int8 MXU accumulation (25 dots, 5 groups), and
-# the recombination collapses to three Shoup terms with power-of-two
-# multipliers (1, 2^14, 2^28 — all < p, so the products are shifts):
-#     Y = U0 + 2^14 U1 + 2^28 G4,  U0 = G0 + 2^7 G1,  U1 = G2 + 2^7 G3
-# with every quantity < 2^31 (G_a <= 5 * 127^2 * n1 <= 2^23.4 for n1 <= 128).
-# Everything stays in VMEM; the 25x table blow-up streams once per channel
-# and is reused across the whole batch (grid is channel-major).
-
-_DIG = 5          # u32: limbs per 30-bit value (7/6-bit digits); u16 uses 2
-
+# and decomposing each W^(b) into ndig digit planes a gives
+#     sum_a 2^(dbits*a) * [ sum_b W^(b)_a @ X_b ]  =  sum_a 2^(dbits*a) G_a.
+# The b-sum happens INSIDE the int8 MXU accumulation (ndig^2 dots, ndig
+# groups).  u32 uses BALANCED base-256 digits (d in [-128, 128), the full
+# signed-int8 range): 4 digits per operand -> 16 dots, vs 25 for an
+# unsigned 7-bit split.  |G_a| <= 4 * 128^2 * k < 2^25 for contraction
+# k <= 512, exact in the int32 accumulator; recombination biases each
+# group by 2^25, Shoup-reduces with multipliers 2^(8a) < p, and subtracts
+# the constant bias correction once (_recombine_consts).  u16 keeps two
+# unsigned 7-bit digits (4 dots, single packed term).  Everything stays in
+# VMEM; the ndig^2 table blow-up streams once per channel and is reused
+# across the whole batch (grid is channel-major).
 
 def _mulhi_for(ring):
     """Shoup mulhi in uint32 lanes, per limb width (u16 shoup companions are
@@ -250,7 +266,6 @@ def _fused_tables(ring):
     ctx = ring.context()
     n, m = ring.degree, ring.nmoduli
     n1, n2, dbits, ndig = _fused_geometry(n, ring.limb)
-    dmask = (1 << dbits) - 1
     rev1 = bitrev_indices(n1)
     rev2 = bitrev_indices(n2)
 
@@ -258,7 +273,7 @@ def _fused_tables(ring):
     w2l = np.empty((m, ndig * ndig, n2, n2), dtype=np.int8)
     tw = np.empty((m, n1, n2), dtype=np.uint32)
     tws = np.empty((m, n1, n2), dtype=np.uint32)
-    shoup1 = np.empty((m, 3), dtype=np.uint32)  # shoup consts for 2^(2*db*j)
+    shoup1 = _recombine_consts(ring, ndig)
     wshift = 16 if ring.limb == "u16" else 32
 
     for cm in range(m):
@@ -273,17 +288,7 @@ def _fused_tables(ring):
                       for r in range(n1)], dtype=np.uint64)
         tw[cm] = t
         tws[cm] = ((t.astype(object) << wshift) // p).astype(np.uint64)
-        for b in range(ndig):
-            s1 = (e1 * pow(2, dbits * b, p)) % p
-            s2 = (e2 * pow(2, dbits * b, p)) % p
-            for a in range(ndig):
-                w1l[cm, ndig * a + b] = ((s1 >> (dbits * a))
-                                         & dmask).astype(np.int8)
-                w2l[cm, ndig * a + b] = ((s2 >> (dbits * a))
-                                         & dmask).astype(np.int8)
-        for j in range(3):
-            c = 1 << (2 * dbits * j)
-            shoup1[cm, j] = ((c % p) << 32) // p
+        _fill_digit_planes(w1l[cm], w2l[cm], e1, e2, p, dbits, ndig)
 
     phis = ctx.phis.reshape(m, n1, n2).astype(np.uint32)
     sphis = ctx.shoupphis.reshape(m, n1, n2).astype(np.uint32)
@@ -291,20 +296,78 @@ def _fused_tables(ring):
     return n1, n2, w1l, w2l, tw, tws, phis, sphis, shoup1, p_vec
 
 
+_BAL_BIAS = 1 << 25      # makes balanced group sums nonneg (|G_a| < 2^25)
+
+
+def _recombine_consts(ring, ndig):
+    """[m, 5] per-channel SMEM constants for the group recombination.
+
+    u32 balanced (ndig=4): [s_0..s_3, corr_add] with s_a the Shoup constant
+    of 2^(8a) mod p and corr_add = 2p - (BIAS * (1+2^8+2^16+2^24)) mod p —
+    the bias correction added once at the end.
+    u16 (ndig=2): [s_0, 0, 0, 0, 0]."""
+    m = ring.nmoduli
+    out = np.zeros((m, 5), dtype=np.uint32)
+    for cm in range(m):
+        p = int(ring.moduli[cm])
+        if ndig == 4:
+            for a in range(4):
+                out[cm, a] = ((1 << (8 * a)) << 32) // p
+            corr = (_BAL_BIAS * (1 + (1 << 8) + (1 << 16) + (1 << 24))) % p
+            out[cm, 4] = 2 * p - corr
+        else:
+            out[cm, 0] = (1 << 32) // p
+    return out
+
+
+def _fill_digit_planes(w1_cm, w2_cm, e1, e2, p, dbits, ndig):
+    """Pre-scaled digit planes: W^(b) = (2^(dbits*b) * W) mod p, decomposed
+    into ndig digit matrices (balanced int8 for u32, unsigned for u16)."""
+    dmask = (1 << dbits) - 1
+    for b in range(ndig):
+        s1 = (e1 * pow(2, dbits * b, p)) % p
+        s2 = (e2 * pow(2, dbits * b, p)) % p
+        if ndig == 4:
+            d1 = _balanced_digits_host(s1)
+            d2 = _balanced_digits_host(s2)
+            for a in range(ndig):
+                w1_cm[ndig * a + b] = d1[a]
+                w2_cm[ndig * a + b] = d2[a]
+        else:
+            for a in range(ndig):
+                w1_cm[ndig * a + b] = ((s1 >> (dbits * a))
+                                       & dmask).astype(np.int8)
+                w2_cm[ndig * a + b] = ((s2 >> (dbits * a))
+                                       & dmask).astype(np.int8)
+
+
 def _digitize_i8(x, dbits, ndig):
-    """u32 [r, c] -> list of ndig int8 [r, c] digit limbs."""
+    """u32 [r, c] -> list of ndig int8 [r, c] digit limbs (balanced base-256
+    for ndig=4, unsigned otherwise)."""
+    if ndig == 4:
+        xi = x.astype(jnp.int32)
+        digs = []
+        carry = jnp.zeros_like(xi)
+        for a in range(3):
+            u = ((xi >> (8 * a)) & 255) + carry
+            carry = (u >= 128).astype(jnp.int32)
+            digs.append((u - (carry << 8)).astype(jnp.int8))
+        digs.append(((xi >> 24) + carry).astype(jnp.int8))
+        return digs
     dmask = jnp.uint32((1 << dbits) - 1)
     return [((x >> (dbits * b)) & dmask).astype(jnp.int32)
             .astype(jnp.int8) for b in range(ndig)]
 
 
-def _mod_matmul_fused(xlimbs, w_ref, p, s1, s14, s28, left, dbits, ndig):
+def _mod_matmul_fused(xlimbs, w_ref, p, sh, left, dbits, ndig):
     """sum_b W^(b) @ X_b mod p via ndig^2 int8 MXU dots + recombination.
 
     xlimbs: ndig int8 [r, k] (or [k, c] for right-multiplication);
-    w_ref: [ndig^2, k, k] int8 table block (limb a major).  Returns u32 < p.
-    u32 (ndig=5): three Shoup terms with shift multipliers; u16 (ndig=2):
-    one packed term, one Shoup reduction.
+    w_ref: [ndig^2, k, k] int8 table block (limb a major); sh: the
+    _recombine_consts row accessors sh(j).  Returns u32 < p.
+    u32 (ndig=4, balanced): bias each signed group by 2^25, four Shoup
+    terms with 2^(8a) multipliers, one bias correction.  u16 (ndig=2,
+    unsigned): one packed term, one Shoup reduction.
     """
     groups = []
     for a in range(ndig):
@@ -320,22 +383,26 @@ def _mod_matmul_fused(xlimbs, w_ref, p, s1, s14, s28, left, dbits, ndig):
                     xlimbs[b], wa, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
             acc = s if acc is None else acc + s
-        groups.append(acc.astype(jnp.uint32))
-    if ndig == 2:
-        u0 = groups[0] + (groups[1] << dbits)
-        t = u0 - modops._mulhi_u32(u0, s1) * p          # < 2p
-        return t - jnp.where(t >= p, p, jnp.zeros_like(t))
-    u0 = groups[0] + (groups[1] << dbits)
-    u1 = groups[2] + (groups[3] << dbits)
-    u2 = groups[4]
-    # Shoup-reduce each term: q = hi(u * s_c); r = (u << shift) - q*p < 2p
-    r0 = u0 - modops._mulhi_u32(u0, s1) * p
-    r1 = (u1 << (2 * dbits)) - modops._mulhi_u32(u1, s14) * p
-    r2 = (u2 << (4 * dbits)) - modops._mulhi_u32(u2, s28) * p
+        groups.append(acc)
     two_p = p + p
-    t = r0 + r1
-    t = t - jnp.where(t >= two_p, two_p, jnp.zeros_like(t))
-    t = t + r2
+    if ndig == 2:
+        u0 = (groups[0].astype(jnp.uint32)
+              + (groups[1].astype(jnp.uint32) << dbits))
+        t = u0 - modops._mulhi_u32(u0, sh(0)) * p       # < 2p
+        return t - jnp.where(t >= p, p, jnp.zeros_like(t))
+    # balanced: G'_a = G_a + BIAS in [0, 2^26); each Shoup term < 2p in
+    # wrapping arithmetic (2^(8a) < p); lazy-sum with 2p reductions
+    bias = jnp.int32(_BAL_BIAS)
+    t = None
+    for a in range(4):
+        g = (groups[a] + bias).astype(jnp.uint32)
+        r = (g << (8 * a)) - modops._mulhi_u32(g, sh(a)) * p
+        if t is None:
+            t = r
+        else:
+            t = t + r
+            t = t - jnp.where(t >= two_p, two_p, jnp.zeros_like(t))
+    t = t + sh(4)                                       # 2p - bias correction
     t = t - jnp.where(t >= two_p, two_p, jnp.zeros_like(t))
     return t - jnp.where(t >= p, p, jnp.zeros_like(t))
 
@@ -343,9 +410,7 @@ def _mod_matmul_fused(xlimbs, w_ref, p, s1, s14, s28, left, dbits, ndig):
 def _fused_kernel(dbits, ndig, mulhi, x_ref, w1_ref, w2_ref, tw_ref, tws_ref,
                   phi_ref, sphi_ref, sh_ref, p_ref, o_ref):
     p = p_ref[0, 0, 0]
-    s1 = sh_ref[0, 0, 0]
-    s14 = sh_ref[0, 0, 1]
-    s28 = sh_ref[0, 0, 2]
+    sh = lambda j: sh_ref[0, 0, j]
     x = x_ref[0, 0].astype(jnp.uint32)   # [n1, n2] < p
 
     # phi pre-twist (canonical)
@@ -355,14 +420,14 @@ def _fused_kernel(dbits, ndig, mulhi, x_ref, w1_ref, w2_ref, tw_ref, tws_ref,
 
     # column DFT
     x = _mod_matmul_fused(_digitize_i8(x, dbits, ndig), w1_ref[0], p,
-                          s1, s14, s28, left=True, dbits=dbits, ndig=ndig)
+                          sh, left=True, dbits=dbits, ndig=ndig)
     # twiddle (canonical)
     q = mulhi(x, tws_ref[0])
     x = x * tw_ref[0] - q * p
     x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
     # row DFT
     x = _mod_matmul_fused(_digitize_i8(x, dbits, ndig), w2_ref[0], p,
-                          s1, s14, s28, left=False, dbits=dbits, ndig=ndig)
+                          sh, left=False, dbits=dbits, ndig=ndig)
     o_ref[0, 0] = x.astype(o_ref.dtype)
 
 
@@ -386,10 +451,10 @@ def _build_fused(ring, interpret):
             in_specs=[
                 pl.BlockSpec((1, 1, n1, n2), lambda c, b: (b, c, _i0, _i0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, _DIG * _DIG, n1, n1),
+                pl.BlockSpec((1, ndig * ndig, n1, n1),
                              lambda c, b: (c, _i0, _i0, _i0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, _DIG * _DIG, n2, n2),
+                pl.BlockSpec((1, ndig * ndig, n2, n2),
                              lambda c, b: (c, _i0, _i0, _i0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n1, n2), lambda c, b: (c, _i0, _i0),
@@ -400,7 +465,7 @@ def _build_fused(ring, interpret):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n1, n2), lambda c, b: (c, _i0, _i0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 3), lambda c, b: (c, _i0, _i0),
+                pl.BlockSpec((1, 1, 5), lambda c, b: (c, _i0, _i0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, 1), lambda c, b: (c, _i0, _i0),
                              memory_space=pltpu.SMEM),
@@ -412,7 +477,7 @@ def _build_fused(ring, interpret):
             interpret=interpret,
         )(xb, jnp.asarray(w1l), jnp.asarray(w2l), jnp.asarray(tw),
           jnp.asarray(tws), jnp.asarray(phis), jnp.asarray(sphis),
-          jnp.asarray(shoup1.reshape(m, 1, 3)),
+          jnp.asarray(shoup1.reshape(m, 1, 5)),
           jnp.asarray(p_vec))
 
     return call
@@ -452,7 +517,6 @@ def _fused_inv_tables(ring):
     ctx = ring.context()
     n, m = ring.degree, ring.nmoduli
     n1, n2, dbits, ndig = _fused_geometry(n, ring.limb)
-    dmask = (1 << dbits) - 1
     rev1 = bitrev_indices(n1)
     rev2 = bitrev_indices(n2)
 
@@ -460,7 +524,7 @@ def _fused_inv_tables(ring):
     w2l = np.empty((m, ndig * ndig, n2, n2), dtype=np.int8)
     tw = np.empty((m, n1, n2), dtype=np.uint32)
     tws = np.empty((m, n1, n2), dtype=np.uint32)
-    shoup1 = np.empty((m, 3), dtype=np.uint32)
+    shoup1 = _recombine_consts(ring, ndig)
     wshift = 16 if ring.limb == "u16" else 32
 
     for cm in range(m):
@@ -476,17 +540,7 @@ def _fused_inv_tables(ring):
                       for r in range(n1)], dtype=np.uint64)       # Tinv
         tw[cm] = t
         tws[cm] = ((t.astype(object) << wshift) // p).astype(np.uint64)
-        for b in range(ndig):
-            s1 = (e1 * pow(2, dbits * b, p)) % p
-            s2 = (e2 * pow(2, dbits * b, p)) % p
-            for a in range(ndig):
-                w1l[cm, ndig * a + b] = ((s1 >> (dbits * a))
-                                         & dmask).astype(np.int8)
-                w2l[cm, ndig * a + b] = ((s2 >> (dbits * a))
-                                         & dmask).astype(np.int8)
-        for j in range(3):
-            c = 1 << (2 * dbits * j)
-            shoup1[cm, j] = ((c % p) << 32) // p
+        _fill_digit_planes(w1l[cm], w2l[cm], e1, e2, p, dbits, ndig)
 
     ivp = ctx.invpoly_times_invphis.reshape(m, n1, n2).astype(np.uint32)
     sivp = ctx.shoupinvpoly_times_invphis.reshape(m, n1, n2).astype(np.uint32)
@@ -497,21 +551,19 @@ def _fused_inv_tables(ring):
 def _fused_inv_kernel(dbits, ndig, mulhi, x_ref, w1_ref, w2_ref, tw_ref,
                       tws_ref, ivp_ref, sivp_ref, sh_ref, p_ref, o_ref):
     p = p_ref[0, 0, 0]
-    s1 = sh_ref[0, 0, 0]
-    s14 = sh_ref[0, 0, 1]
-    s28 = sh_ref[0, 0, 2]
+    sh = lambda j: sh_ref[0, 0, j]
     x = x_ref[0, 0].astype(jnp.uint32)   # [n1, n2] < p (Harvey order)
 
     # row inverse DFT: right-multiply by W2inv
     x = _mod_matmul_fused(_digitize_i8(x, dbits, ndig), w2_ref[0], p,
-                          s1, s14, s28, left=False, dbits=dbits, ndig=ndig)
+                          sh, left=False, dbits=dbits, ndig=ndig)
     # inverse twiddle
     q = mulhi(x, tws_ref[0])
     x = x * tw_ref[0] - q * p
     x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
     # column inverse DFT: left-multiply by W1inv
     x = _mod_matmul_fused(_digitize_i8(x, dbits, ndig), w1_ref[0], p,
-                          s1, s14, s28, left=True, dbits=dbits, ndig=ndig)
+                          sh, left=True, dbits=dbits, ndig=ndig)
     # fused n^-1 * phi^-i untwist
     q = mulhi(x, sivp_ref[0])
     x = x * ivp_ref[0] - q * p
@@ -537,10 +589,10 @@ def _build_fused_inv(ring, interpret):
             in_specs=[
                 pl.BlockSpec((1, 1, n1, n2), lambda c, b: (b, c, _i0, _i0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, _DIG * _DIG, n1, n1),
+                pl.BlockSpec((1, ndig * ndig, n1, n1),
                              lambda c, b: (c, _i0, _i0, _i0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, _DIG * _DIG, n2, n2),
+                pl.BlockSpec((1, ndig * ndig, n2, n2),
                              lambda c, b: (c, _i0, _i0, _i0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n1, n2), lambda c, b: (c, _i0, _i0),
@@ -551,7 +603,7 @@ def _build_fused_inv(ring, interpret):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n1, n2), lambda c, b: (c, _i0, _i0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 3), lambda c, b: (c, _i0, _i0),
+                pl.BlockSpec((1, 1, 5), lambda c, b: (c, _i0, _i0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, 1), lambda c, b: (c, _i0, _i0),
                              memory_space=pltpu.SMEM),
@@ -563,7 +615,7 @@ def _build_fused_inv(ring, interpret):
             interpret=interpret,
         )(xb, jnp.asarray(w1l), jnp.asarray(w2l), jnp.asarray(tw),
           jnp.asarray(tws), jnp.asarray(ivp), jnp.asarray(sivp),
-          jnp.asarray(shoup1.reshape(m, 1, 3)), jnp.asarray(p_vec))
+          jnp.asarray(shoup1.reshape(m, 1, 5)), jnp.asarray(p_vec))
 
     return call
 

@@ -22,8 +22,9 @@ def test_supports():
     for deg in (8, 128, 512):
         assert ntt_mxu.supports_fused(nfl.Ring("u16", deg, 1))
     assert not ntt_mxu.supports_fused(nfl.Ring("u64", 8192, 2))
-    assert ntt_mxu._fused_geometry(32768) == (128, 256, 6, 5)
-    assert ntt_mxu._fused_geometry(1024) == (32, 32, 7, 5)
+    # u32: balanced 4 x 8-bit digits at every geometry; u16: 2 x 7-bit
+    assert ntt_mxu._fused_geometry(32768) == (128, 256, 8, 4)
+    assert ntt_mxu._fused_geometry(1024) == (32, 32, 8, 4)
     assert ntt_mxu._fused_geometry(128, "u16") == (8, 16, 7, 2)
 
 
