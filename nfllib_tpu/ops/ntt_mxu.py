@@ -253,6 +253,18 @@ def ntt_pow_phi_mxu(x, ctx):
 # VMEM; the ndig^2 table blow-up streams once per channel and is reused
 # across the whole batch (grid is channel-major).
 
+def _batch_block(B, n):
+    """Batch elements per program: amortizes per-program dispatch/DMA
+    overhead (measured ~1 us/program vs ~0.5 us of compute at n=2^14)
+    subject to a ~8 MB VMEM working-set estimate (~14 words/coeff live
+    incl. digit planes and int32 groups)."""
+    cap = max(1, (8 << 20) // (14 * 4 * n))
+    for bb in (8, 4, 2):
+        if bb <= cap and B % bb == 0:
+            return bb
+    return 1
+
+
 def _mulhi_for(ring):
     """Shoup mulhi in uint32 lanes, per limb width (u16 shoup companions are
     16-bit shifted; exact because operands < 2^16)."""
@@ -279,21 +291,25 @@ def _fused_tables(ring):
     for cm in range(m):
         p = int(ring.moduli[cm])
         w = ctx.omega_int[cm]
+        phi = ctx.phi_int[cm]
         wc, wr = pow(w, n2, p), pow(w, n1, p)
-        e1 = np.array([[pow(wc, int(rev1[r]) * i1, p) for i1 in range(n1)]
+        # the phi^i pre-twist factors as phi^(i2 + n2*i1) =
+        # (phi^n2)^i1 * phi^i2: the i1 part folds into W1's columns, the i2
+        # part into the twiddle table — the kernel has NO twist stage
+        e1 = np.array([[(pow(wc, int(rev1[r]) * i1, p)
+                         * pow(phi, n2 * i1, p)) % p for i1 in range(n1)]
                        for r in range(n1)], dtype=np.uint64)
         e2 = np.array([[pow(wr, i2 * int(rev2[c]), p) for c in range(n2)]
                        for i2 in range(n2)], dtype=np.uint64)
-        t = np.array([[pow(w, int(rev1[r]) * i2, p) for i2 in range(n2)]
+        t = np.array([[(pow(w, int(rev1[r]) * i2, p)
+                        * pow(phi, i2, p)) % p for i2 in range(n2)]
                       for r in range(n1)], dtype=np.uint64)
         tw[cm] = t
         tws[cm] = ((t.astype(object) << wshift) // p).astype(np.uint64)
         _fill_digit_planes(w1l[cm], w2l[cm], e1, e2, p, dbits, ndig)
 
-    phis = ctx.phis.reshape(m, n1, n2).astype(np.uint32)
-    sphis = ctx.shoupphis.reshape(m, n1, n2).astype(np.uint32)
     p_vec = ctx.p.reshape(m, 1, 1).astype(np.uint32)
-    return n1, n2, w1l, w2l, tw, tws, phis, sphis, shoup1, p_vec
+    return n1, n2, w1l, w2l, tw, tws, shoup1, p_vec
 
 
 _BAL_BIAS = 1 << 25      # makes balanced group sums nonneg (|G_a| < 2^25)
@@ -359,39 +375,57 @@ def _digitize_i8(x, dbits, ndig):
             .astype(jnp.int8) for b in range(ndig)]
 
 
-def _mod_matmul_fused(xlimbs, w_ref, p, sh, left, dbits, ndig):
-    """sum_b W^(b) @ X_b mod p via ndig^2 int8 MXU dots + recombination.
+# sum_b W^(b) @ X_b mod p via ndig^2 int8 MXU dots + recombination.
+# u32 (ndig=4, balanced): bias each signed group by 2^25, four Shoup terms
+# with 2^(8a) multipliers, one bias correction.  u16 (ndig=2, unsigned):
+# one packed term, one Shoup reduction.  Kernels process a bb-element
+# batch block per program to amortize per-program dispatch/DMA overhead.
 
-    xlimbs: ndig int8 [r, k] (or [k, c] for right-multiplication);
-    w_ref: [ndig^2, k, k] int8 table block (limb a major); sh: the
-    _recombine_consts row accessors sh(j).  Returns u32 < p.
-    u32 (ndig=4, balanced): bias each signed group by 2^25, four Shoup
-    terms with 2^(8a) multipliers, one bias correction.  u16 (ndig=2,
-    unsigned): one packed term, one Shoup reduction.
-    """
+
+def _left_matmul_batched(x, w_ref, p, sh, dbits, ndig, bb, n1, n2):
+    """W @ X_i for a [bb, n1, n2] batch block: per-element column-DFT dots
+    (the small matmul), groups recombined batched."""
+    xd = _digitize_i8(x, dbits, ndig)            # ndig x [bb, n1, n2] int8
+    groups = []
+    for a in range(ndig):
+        per_b = []
+        for i in range(bb):
+            acc = None
+            for b in range(ndig):
+                s = jax.lax.dot_general(
+                    w_ref[ndig * a + b], xd[b][i], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                acc = s if acc is None else acc + s
+            per_b.append(acc)
+        groups.append(jnp.stack(per_b) if bb > 1 else per_b[0][None])
+    return _recombine_groups(groups, p, sh, dbits, ndig)
+
+
+def _right_matmul_batched(x, w_ref, p, sh, dbits, ndig, bb, n1, n2):
+    """X_i @ W for a [bb, n1, n2] batch block: the bb row-DFTs stack into
+    ONE [bb*n1, n2] @ [n2, n2] dot per digit pair (leading-dim collapse is
+    free; the wide lhs amortizes per-dot overhead and fills the MXU)."""
+    xd = _digitize_i8(x, dbits, ndig)
+    xs = [d.reshape(bb * n1, n2) for d in xd]
     groups = []
     for a in range(ndig):
         acc = None
         for b in range(ndig):
-            wa = w_ref[ndig * a + b]
-            if left:
-                s = jax.lax.dot_general(
-                    wa, xlimbs[b], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-            else:
-                s = jax.lax.dot_general(
-                    xlimbs[b], wa, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
+            s = jax.lax.dot_general(
+                xs[b], w_ref[ndig * a + b], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
             acc = s if acc is None else acc + s
-        groups.append(acc)
+        groups.append(acc.reshape(bb, n1, n2))
+    return _recombine_groups(groups, p, sh, dbits, ndig)
+
+
+def _recombine_groups(groups, p, sh, dbits, ndig):
     two_p = p + p
     if ndig == 2:
         u0 = (groups[0].astype(jnp.uint32)
               + (groups[1].astype(jnp.uint32) << dbits))
         t = u0 - modops._mulhi_u32(u0, sh(0)) * p       # < 2p
         return t - jnp.where(t >= p, p, jnp.zeros_like(t))
-    # balanced: G'_a = G_a + BIAS in [0, 2^26); each Shoup term < 2p in
-    # wrapping arithmetic (2^(8a) < p); lazy-sum with 2p reductions
     bias = jnp.int32(_BAL_BIAS)
     t = None
     for a in range(4):
@@ -407,36 +441,29 @@ def _mod_matmul_fused(xlimbs, w_ref, p, sh, left, dbits, ndig):
     return t - jnp.where(t >= p, p, jnp.zeros_like(t))
 
 
-def _fused_kernel(dbits, ndig, mulhi, x_ref, w1_ref, w2_ref, tw_ref, tws_ref,
-                  phi_ref, sphi_ref, sh_ref, p_ref, o_ref):
+def _fused_kernel(dbits, ndig, mulhi, bb, n1, n2,
+                  x_ref, w1_ref, w2_ref, tw_ref, tws_ref,
+                  sh_ref, p_ref, o_ref):
     p = p_ref[0, 0, 0]
     sh = lambda j: sh_ref[0, 0, j]
-    x = x_ref[0, 0].astype(jnp.uint32)   # [n1, n2] < p
+    x = x_ref[...].reshape(bb, n1, n2).astype(jnp.uint32)   # [bb, n1, n2] < p
 
-    # phi pre-twist (canonical)
-    q = mulhi(x, sphi_ref[0])
-    x = x * phi_ref[0] - q * p
-    x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
-
-    # column DFT
-    x = _mod_matmul_fused(_digitize_i8(x, dbits, ndig), w1_ref[0], p,
-                          sh, left=True, dbits=dbits, ndig=ndig)
-    # twiddle (canonical)
+    # column DFT (phi twist pre-folded into W1's columns)
+    x = _left_matmul_batched(x, w1_ref[0], p, sh, dbits, ndig, bb, n1, n2)
+    # twiddle * phi^i2 (canonical); tables broadcast over the batch block
     q = mulhi(x, tws_ref[0])
     x = x * tw_ref[0] - q * p
     x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
     # row DFT
-    x = _mod_matmul_fused(_digitize_i8(x, dbits, ndig), w2_ref[0], p,
-                          sh, left=False, dbits=dbits, ndig=ndig)
-    o_ref[0, 0] = x.astype(o_ref.dtype)
+    x = _right_matmul_batched(x, w2_ref[0], p, sh, dbits, ndig, bb, n1, n2)
+    o_ref[...] = x.reshape(bb, 1, n1, n2).astype(o_ref.dtype)
 
 
 @functools.lru_cache(maxsize=None)
 def _build_fused(ring, interpret):
     ctx = ring.context()
     m = ring.nmoduli
-    n1, n2, w1l, w2l, tw, tws, phis, sphis, shoup1, p_vec = \
-        _fused_tables(ring)
+    n1, n2, w1l, w2l, tw, tws, shoup1, p_vec = _fused_tables(ring)
     dbits, ndig = _fused_geometry(ring.degree, ring.limb)[2:]
     _i0 = np.int32(0)
 
@@ -445,11 +472,12 @@ def _build_fused(ring, interpret):
     def call(xb):
         """xb: [B, m, n1, n2] -> same shape."""
         B = xb.shape[0]
+        bb = _batch_block(B, ring.degree)
         return pl.pallas_call(
-            functools.partial(_fused_kernel, dbits, ndig, mulhi),
-            grid=(m, B),          # batch innermost: tables stay resident
+            functools.partial(_fused_kernel, dbits, ndig, mulhi, bb, n1, n2),
+            grid=(m, B // bb),    # batch innermost: tables stay resident
             in_specs=[
-                pl.BlockSpec((1, 1, n1, n2), lambda c, b: (b, c, _i0, _i0),
+                pl.BlockSpec((bb, 1, n1, n2), lambda c, b: (b, c, _i0, _i0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, ndig * ndig, n1, n1),
                              lambda c, b: (c, _i0, _i0, _i0),
@@ -461,23 +489,18 @@ def _build_fused(ring, interpret):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n1, n2), lambda c, b: (c, _i0, _i0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n1, n2), lambda c, b: (c, _i0, _i0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n1, n2), lambda c, b: (c, _i0, _i0),
-                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, 5), lambda c, b: (c, _i0, _i0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, 1), lambda c, b: (c, _i0, _i0),
                              memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec((1, 1, n1, n2),
+            out_specs=pl.BlockSpec((bb, 1, n1, n2),
                                    lambda c, b: (b, c, _i0, _i0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(xb.shape, ring.dtype),
             interpret=interpret,
         )(xb, jnp.asarray(w1l), jnp.asarray(w2l), jnp.asarray(tw),
-          jnp.asarray(tws), jnp.asarray(phis), jnp.asarray(sphis),
-          jnp.asarray(shoup1.reshape(m, 1, 5)),
+          jnp.asarray(tws), jnp.asarray(shoup1.reshape(m, 1, 5)),
           jnp.asarray(p_vec))
 
     return call
@@ -531,63 +554,66 @@ def _fused_inv_tables(ring):
         p = int(ring.moduli[cm])
         w = ctx.omega_int[cm]
         iw = pow(w, -1, p)
+        iphi = pow(ctx.phi_int[cm], -1, p)
+        inv_deg = int(ctx.invpolyDegree[cm])
         iwc, iwr = pow(iw, n2, p), pow(iw, n1, p)
-        e1 = np.array([[pow(iwc, i1 * int(rev1[r]), p) for r in range(n1)]
-                       for i1 in range(n1)], dtype=np.uint64)     # W1inv
+        # the n^-1 * phi^-i untwist factors as
+        # inv_deg * (phi^-n2)^i1 * (phi^-1)^i2: the i1 part folds into
+        # W1inv's rows, the i2 part (with inv_deg) into the inverse twiddle
+        # — the kernel has NO untwist stage
+        e1 = np.array([[(pow(iwc, i1 * int(rev1[r]), p)
+                         * pow(iphi, n2 * i1, p)) % p for r in range(n1)]
+                       for i1 in range(n1)], dtype=np.uint64)     # W1inv'
         e2 = np.array([[pow(iwr, int(rev2[c]) * i2, p) for i2 in range(n2)]
                        for c in range(n2)], dtype=np.uint64)      # W2inv
-        t = np.array([[pow(iw, int(rev1[r]) * i2, p) for i2 in range(n2)]
-                      for r in range(n1)], dtype=np.uint64)       # Tinv
+        t = np.array([[(pow(iw, int(rev1[r]) * i2, p)
+                        * inv_deg * pow(iphi, i2, p)) % p
+                       for i2 in range(n2)]
+                      for r in range(n1)], dtype=np.uint64)       # Tinv'
         tw[cm] = t
         tws[cm] = ((t.astype(object) << wshift) // p).astype(np.uint64)
         _fill_digit_planes(w1l[cm], w2l[cm], e1, e2, p, dbits, ndig)
 
-    ivp = ctx.invpoly_times_invphis.reshape(m, n1, n2).astype(np.uint32)
-    sivp = ctx.shoupinvpoly_times_invphis.reshape(m, n1, n2).astype(np.uint32)
     p_vec = ctx.p.reshape(m, 1, 1).astype(np.uint32)
-    return n1, n2, w1l, w2l, tw, tws, ivp, sivp, shoup1, p_vec
+    return n1, n2, w1l, w2l, tw, tws, shoup1, p_vec
 
 
-def _fused_inv_kernel(dbits, ndig, mulhi, x_ref, w1_ref, w2_ref, tw_ref,
-                      tws_ref, ivp_ref, sivp_ref, sh_ref, p_ref, o_ref):
+def _fused_inv_kernel(dbits, ndig, mulhi, bb, n1, n2,
+                      x_ref, w1_ref, w2_ref, tw_ref,
+                      tws_ref, sh_ref, p_ref, o_ref):
     p = p_ref[0, 0, 0]
     sh = lambda j: sh_ref[0, 0, j]
-    x = x_ref[0, 0].astype(jnp.uint32)   # [n1, n2] < p (Harvey order)
+    x = x_ref[...].reshape(bb, n1, n2).astype(jnp.uint32)   # < p, Harvey
 
     # row inverse DFT: right-multiply by W2inv
-    x = _mod_matmul_fused(_digitize_i8(x, dbits, ndig), w2_ref[0], p,
-                          sh, left=False, dbits=dbits, ndig=ndig)
-    # inverse twiddle
+    x = _right_matmul_batched(x, w2_ref[0], p, sh, dbits, ndig, bb, n1, n2)
+    # inverse twiddle * inv_deg * phi^-i2 (canonical)
     q = mulhi(x, tws_ref[0])
     x = x * tw_ref[0] - q * p
     x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
-    # column inverse DFT: left-multiply by W1inv
-    x = _mod_matmul_fused(_digitize_i8(x, dbits, ndig), w1_ref[0], p,
-                          sh, left=True, dbits=dbits, ndig=ndig)
-    # fused n^-1 * phi^-i untwist
-    q = mulhi(x, sivp_ref[0])
-    x = x * ivp_ref[0] - q * p
-    x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
-    o_ref[0, 0] = x.astype(o_ref.dtype)
+    # column inverse DFT by W1inv (phi^-(n2 i1) untwist pre-folded in rows)
+    x = _left_matmul_batched(x, w1_ref[0], p, sh, dbits, ndig, bb, n1, n2)
+    o_ref[...] = x.reshape(bb, 1, n1, n2).astype(o_ref.dtype)
 
 
 @functools.lru_cache(maxsize=None)
 def _build_fused_inv(ring, interpret):
     ctx = ring.context()
     m = ring.nmoduli
-    n1, n2, w1l, w2l, tw, tws, ivp, sivp, shoup1, p_vec = \
-        _fused_inv_tables(ring)
+    n1, n2, w1l, w2l, tw, tws, shoup1, p_vec = _fused_inv_tables(ring)
     dbits, ndig = _fused_geometry(ring.degree, ring.limb)[2:]
     _i0 = np.int32(0)
     mulhi = _mulhi_for(ring)
 
     def call(xb):
         B = xb.shape[0]
+        bb = _batch_block(B, ring.degree)
         return pl.pallas_call(
-            functools.partial(_fused_inv_kernel, dbits, ndig, mulhi),
-            grid=(m, B),
+            functools.partial(_fused_inv_kernel, dbits, ndig, mulhi,
+                              bb, n1, n2),
+            grid=(m, B // bb),
             in_specs=[
-                pl.BlockSpec((1, 1, n1, n2), lambda c, b: (b, c, _i0, _i0),
+                pl.BlockSpec((bb, 1, n1, n2), lambda c, b: (b, c, _i0, _i0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, ndig * ndig, n1, n1),
                              lambda c, b: (c, _i0, _i0, _i0),
@@ -599,23 +625,19 @@ def _build_fused_inv(ring, interpret):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n1, n2), lambda c, b: (c, _i0, _i0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n1, n2), lambda c, b: (c, _i0, _i0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n1, n2), lambda c, b: (c, _i0, _i0),
-                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, 5), lambda c, b: (c, _i0, _i0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, 1), lambda c, b: (c, _i0, _i0),
                              memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec((1, 1, n1, n2),
+            out_specs=pl.BlockSpec((bb, 1, n1, n2),
                                    lambda c, b: (b, c, _i0, _i0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(xb.shape, ring.dtype),
             interpret=interpret,
         )(xb, jnp.asarray(w1l), jnp.asarray(w2l), jnp.asarray(tw),
-          jnp.asarray(tws), jnp.asarray(ivp), jnp.asarray(sivp),
-          jnp.asarray(shoup1.reshape(m, 1, 5)), jnp.asarray(p_vec))
+          jnp.asarray(tws), jnp.asarray(shoup1.reshape(m, 1, 5)),
+          jnp.asarray(p_vec))
 
     return call
 
