@@ -130,14 +130,6 @@ def p_reduce_once(x, p):
 # host-side kernel tables (u64 values split into uint32 hi/lo planes)
 # ---------------------------------------------------------------------------
 
-_CTX_BY_ID = {}
-
-
-def _register_ctx(ctx):
-    _CTX_BY_ID[id(ctx)] = ctx
-    return id(ctx)
-
-
 def _split(t):
     t = np.ascontiguousarray(t, dtype=np.uint64)
     return ((t >> np.uint64(32)).astype(np.uint32),
@@ -145,10 +137,10 @@ def _split(t):
 
 
 @functools.lru_cache(maxsize=None)
-def _kernel_tables(ctx_id, inverse):
-    """Same layout as ntt_pallas._kernel_tables, hi/lo planes."""
-    ctx = _CTX_BY_ID[ctx_id]
-    ring = ctx.ring
+def _kernel_tables(ring, inverse):
+    """Same layout as ntt_pallas._kernel_tables, hi/lo planes.  Cached on
+    the frozen Ring (no id()-keyed registry)."""
+    ctx = ring.context()
     n = ring.degree
     m = ring.nmoduli
     w = ctx.invomegas if inverse else ctx.omegas
@@ -311,16 +303,15 @@ def _channel_group(ring):
 
 
 @functools.lru_cache(maxsize=None)
-def _build(ctx_id, stage_inverse, tables_inverse, twist, strict, interpret):
-    ctx = _CTX_BY_ID[ctx_id]
-    ring = ctx.ring
+def _build(ring, stage_inverse, tables_inverse, twist, strict, interpret):
+    ctx = ring.context()
     n, m = ring.degree, ring.nmoduli
     R = n // LANES
     log_r = static_log2(R)
     mg, padded_m = _channel_group(ring)
 
     (wmh, wml), (wsh, wsl), (lvh, lvl), (lsh, lsl) = _kernel_tables(
-        ctx_id, tables_inverse or stage_inverse)
+        ring, tables_inverse or stage_inverse)
     if stage_inverse:
         tw64 = ctx.invpoly_times_invphis
         stw64 = ctx.shoupinvpoly_times_invphis
@@ -392,14 +383,13 @@ def _run(x, ctx, stage_inverse, tables_inverse, twist, strict, interpret):
     ring = ctx.ring
     n, m = ring.degree, ring.nmoduli
     R = n // LANES
-    ctx_id = _register_ctx(ctx)
     x = jnp.asarray(x)
     batch = x.shape[:-2]
     xb = x.reshape((-1, m, R, LANES))
     # split into u32 planes outside the kernel (one fused XLA pass each way)
     xbh = (xb >> jnp.uint64(32)).astype(jnp.uint32)
     xbl = xb.astype(jnp.uint32)
-    call, padded_m = _build(ctx_id, bool(stage_inverse), bool(tables_inverse),
+    call, padded_m = _build(ring, bool(stage_inverse), bool(tables_inverse),
                             bool(twist), bool(strict), bool(interpret))
     if padded_m != m:
         pad = jnp.zeros((xb.shape[0], padded_m - m, R, LANES),
