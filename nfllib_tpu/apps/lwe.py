@@ -58,28 +58,36 @@ def keygen(ring: Ring, stream: Salsa20Stream,
     return LweKeys(s=s, sprime=sprime, pka=pka, pkb=pkb)
 
 
-def _use_fused_chain(ring) -> bool:
-    """Route whole encrypt/decrypt chains to the fused Pallas kernels
-    (ops/ntt_pallas.py lwe_*_fused: transform + pointwise combines in one
-    VMEM residency) on TPU; jnp graphs elsewhere.  NFL_TPU_NTT=jnp opts out,
-    =pallas/mxu forces (interpret mode off-TPU)."""
+def _fused_chain_module(ring):
+    """Kernel module for whole encrypt/decrypt chains (transform + pointwise
+    combines in one VMEM residency) on TPU: ops/ntt_pallas.py for u16/u32,
+    ops/ntt_pallas_u64.py (paired-u32) for the 62-bit tier; None -> jnp
+    graphs.  NFL_TPU_NTT=jnp opts out, =pallas/mxu forces (interpret mode
+    off-TPU)."""
     mode = os.environ.get("NFL_TPU_NTT", "auto")
     if mode == "jnp":
-        return False
-    from ..ops import ntt_pallas
-    if not ntt_pallas.supports(ring):
-        return False
+        return None
+    if ring.limb == "u64":
+        from ..ops import ntt_pallas_u64 as mod
+    else:
+        from ..ops import ntt_pallas as mod
+    if not mod.supports(ring):
+        return None
     if mode in ("pallas", "mxu"):
-        return True
-    return jax.default_backend() == "tpu"
+        return mod
+    return mod if jax.default_backend() == "tpu" else None
+
+
+def _use_fused_chain(ring) -> bool:
+    return _fused_chain_module(ring) is not None
 
 
 def _encrypt_graph(ctx, pka, pkb, u, e1, e2):
     """Pure compute graph on residue tensors; u/e1/e2 are coefficient-domain
     noise, outputs are the NTT-domain ciphertext halves."""
-    if _use_fused_chain(ctx.ring):
-        from ..ops import ntt_pallas
-        return ntt_pallas.lwe_encrypt_fused(u, e1, e2, pka, pkb, ctx)
+    mod = _fused_chain_module(ctx.ring)
+    if mod is not None:
+        return mod.lwe_encrypt_fused(u, e1, e2, pka, pkb, ctx)
     p_col = jnp.asarray(ctx.p_col)
     pn_col = jnp.asarray(ctx.pn_col)
     un = ntt.ntt_pow_phi(u, ctx)
@@ -92,9 +100,9 @@ def _encrypt_graph(ctx, pka, pkb, u, e1, e2):
 
 def _decrypt_graph(ctx, resa, resb, s, sprime):
     p_col = jnp.asarray(ctx.p_col)
-    if _use_fused_chain(ctx.ring):
-        from ..ops import ntt_pallas
-        tmp = ntt_pallas.lwe_decrypt_fused(resa, resb, s, sprime, ctx)
+    mod = _fused_chain_module(ctx.ring)
+    if mod is not None:
+        tmp = mod.lwe_decrypt_fused(resa, resb, s, sprime, ctx)
     else:
         pn_col = jnp.asarray(ctx.pn_col)
         tmp = modops.submod(resb, modops.mulmod(resa, s, p_col, pn_col),

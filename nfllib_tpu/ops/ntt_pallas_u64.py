@@ -285,9 +285,9 @@ _VMEM_PER_CHAN_FACTOR = 48        # * n * 4 bytes
 _VMEM_LIMIT = 15 * 1024 * 1024
 
 
-def _channel_group(ring):
+def _channel_group(ring, factor=_VMEM_PER_CHAN_FACTOR):
     n, m = ring.degree, ring.nmoduli
-    per_chan = n * 4 * _VMEM_PER_CHAN_FACTOR
+    per_chan = n * 4 * factor
     mg_max = max(1, min(m, _VMEM_LIMIT // per_chan))
     best = (1, m)
     best_cost = (0, 0)
@@ -415,3 +415,251 @@ def intt_bwd(x, ctx, *, untwist=True, strict=True, interpret=None):
     """Inverse negacyclic transform via direct stage inversion (no
     permutations); untwist=True applies the fused n^-1 phi^-i scaling."""
     return _run(x, ctx, True, True, untwist, strict, interpret)
+
+
+# ---------------------------------------------------------------------------
+# fused LWE chain kernels, u64 tier (mirrors ops/ntt_pallas.py lwe_*_fused:
+# whole encrypt / decrypt-head chains in one VMEM residency, pair math)
+# ---------------------------------------------------------------------------
+
+_ENC_FACTOR = 3 * _VMEM_PER_CHAN_FACTOR + 32
+_DEC_FACTOR = 2 * _VMEM_PER_CHAN_FACTOR + 16
+
+
+def p_newton_mulmod(x, y, p, pn):
+    """x*y mod p for 62-bit moduli via the Newton quotient (the pair-math
+    transcription of modops.mulmod's u64 branch / reference
+    ops.hpp:201-219); canonical result < p."""
+    hi = p_mulhi(x, y)
+    lo = p_mullo(x, y)
+    # s = (128-bit product) << 2, split into its high/low 64-bit halves
+    s_hi = ((hi[0] << 2) | (hi[1] >> 30), (hi[1] << 2) | (lo[0] >> 30))
+    s_lo = ((lo[0] << 2) | (lo[1] >> 30), lo[1] << 2)
+    t = p_mullo(pn, hi)
+    q_lo = p_add(t, s_lo)
+    carry = _c32(~p_ge(q_lo, s_lo))            # 64-bit add wrapped
+    q_hi = p_add(p_add(p_mulhi(pn, hi), s_hi), (jnp.zeros_like(carry), carry))
+    r = p_sub(lo, p_mullo(q_hi, p))
+    return p_reduce_once(r, p)
+
+
+def _lwe_encrypt_kernel(n, log_r,
+                        xh_ref, xl_ref, twh_ref, twl_ref, stwh_ref, stwl_ref,
+                        wmh_ref, wml_ref, wsh_ref, wsl_ref,
+                        lvh_ref, lvl_ref, lsh_ref, lsl_ref,
+                        pkh_ref, pkl_ref, ph_ref, pl_ref, pnh_ref, pnl_ref,
+                        oh_ref, ol_ref):
+    p = (ph_ref[0], pl_ref[0])
+    pn = (pnh_ref[0], pnl_ref[0])
+    two_p = p_add(p, p)
+    wm = (wmh_ref[...], wml_ref[...])
+    wsm = (wsh_ref[...], wsl_ref[...])
+    lv = (lvh_ref[...], lvl_ref[...])
+    ls = (lsh_ref[...], lsl_ref[...])
+    tw = (twh_ref[...], twl_ref[...])
+    stw = (stwh_ref[...], stwl_ref[...])
+
+    outs = []
+    for i in range(3):                 # u, e1, e2: twist + forward stages
+        x = (xh_ref[i], xl_ref[i])
+        x = p_reduce_once(p_shoup_lazy(x, tw, stw, p), p)
+        x = _row_stages(x, wm, wsm, n, log_r, p, two_p)
+        x = _lane_stages(x, lv, ls, p, two_p)
+        outs.append(p_reduce_once(x, p))
+    un, e1n, e2n = outs
+    for j, en in ((0, e1n), (1, e2n)):
+        pk = (pkh_ref[j], pkl_ref[j])
+        r = p_add(en, p_newton_mulmod(un, pk, p, pn))
+        r = p_reduce_once(r, p)
+        oh_ref[j] = r[0]
+        ol_ref[j] = r[1]
+
+
+def _lwe_decrypt_kernel(n, log_r,
+                        xh_ref, xl_ref, twh_ref, twl_ref, stwh_ref, stwl_ref,
+                        wmh_ref, wml_ref, wsh_ref, wsl_ref,
+                        lvh_ref, lvl_ref, lsh_ref, lsl_ref,
+                        sh_ref, sl_ref, sph_ref, spl_ref, ph_ref, pl_ref,
+                        oh_ref, ol_ref):
+    p = (ph_ref[0], pl_ref[0])
+    two_p = p_add(p, p)
+    wm = (wmh_ref[...], wml_ref[...])
+    wsm = (wsh_ref[...], wsl_ref[...])
+    lv = (lvh_ref[...], lvl_ref[...])
+    ls = (lsh_ref[...], lsl_ref[...])
+    tw = (twh_ref[...], twl_ref[...])
+    stw = (stwh_ref[...], stwl_ref[...])
+
+    resa = (xh_ref[0], xl_ref[0])
+    resb = (xh_ref[1], xl_ref[1])
+    s = (sh_ref[...], sl_ref[...])
+    sp = (sph_ref[...], spl_ref[...])
+    ss = p_reduce_once(p_shoup_lazy(resa, s, sp, p), p)
+    t = p_reduce_once(p_add(resb, p_sub(p, ss)), p)   # resb - resa*s, strict
+    t = _lane_stages(t, lv, ls, p, two_p, inverse=True)
+    t = _row_stages(t, wm, wsm, n, log_r, p, two_p, inverse=True)
+    t = p_shoup_lazy(t, tw, stw, p)                   # fused untwist
+    t = p_reduce_once(t, p)
+    oh_ref[0] = t[0]
+    ol_ref[0] = t[1]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_lwe(ring, encrypt, interpret):
+    ctx = ring.context()
+    n, m = ring.degree, ring.nmoduli
+    R = n // LANES
+    log_r = static_log2(R)
+    mg, padded_m = _channel_group(ring,
+                                  _ENC_FACTOR if encrypt else _DEC_FACTOR)
+
+    (wmh, wml), (wsh, wsl), (lvh, lvl), (lsh, lsl) = _kernel_tables(
+        ring, not encrypt)
+    if encrypt:
+        tw64, stw64 = ctx.phis, ctx.shoupphis
+    else:
+        tw64 = ctx.invpoly_times_invphis
+        stw64 = ctx.shoupinvpoly_times_invphis
+    twh, twl = _split(tw64.reshape(m, R, LANES))
+    stwh, stwl = _split(stw64.reshape(m, R, LANES))
+    ph, plo = _split(ctx.p.reshape(m, 1, 1))
+    pnh, pnl = _split(ctx.pn.reshape(m, 1, 1))
+
+    if padded_m != m:
+        def pad(t):
+            reps = [t[0:1]] * (padded_m - m)
+            return np.concatenate([t] + reps, axis=0)
+        twh, twl, stwh, stwl = pad(twh), pad(twl), pad(stwh), pad(stwl)
+        wmh, wml, wsh, wsl = pad(wmh), pad(wml), pad(wsh), pad(wsl)
+        lvh, lvl, lsh, lsl = pad(lvh), pad(lvl), pad(lsh), pad(lsl)
+        ph, plo, pnh, pnl = pad(ph), pad(plo), pad(pnh), pad(pnl)
+
+    nstack = 3 if encrypt else 2
+    kern = functools.partial(
+        _lwe_encrypt_kernel if encrypt else _lwe_decrypt_kernel, n, log_r)
+
+    def spec_x(k):
+        return pl.BlockSpec((k, mg, R, LANES), lambda g, b: (b, g, _I0, _I0),
+                            memory_space=pltpu.VMEM)
+
+    def spec_tab(shape):
+        return pl.BlockSpec(shape,
+                            lambda g, b: (g,) + (_I0,) * (len(shape) - 1),
+                            memory_space=pltpu.VMEM)
+
+    def spec_scalar():
+        return pl.BlockSpec((1, mg, 1, 1), lambda g, b: (_I0, g, _I0, _I0),
+                            memory_space=pltpu.VMEM)
+
+    def spec_op(k):
+        return pl.BlockSpec((k, mg, R, LANES), lambda g, b: (_I0, g, _I0, _I0),
+                            memory_space=pltpu.VMEM)
+
+    tab_specs = [
+        spec_tab((mg, R, LANES)), spec_tab((mg, R, LANES)),
+        spec_tab((mg, R, LANES)), spec_tab((mg, R, LANES)),
+        spec_tab((mg, 1, n - LANES)), spec_tab((mg, 1, n - LANES)),
+        spec_tab((mg, 1, n - LANES)), spec_tab((mg, 1, n - LANES)),
+        spec_tab((mg, LOG_LANES, LANES)), spec_tab((mg, LOG_LANES, LANES)),
+        spec_tab((mg, LOG_LANES, LANES)), spec_tab((mg, LOG_LANES, LANES)),
+    ]
+    tab_args = [jnp.asarray(t) for t in
+                (twh, twl, stwh, stwl, wmh, wml, wsh, wsl,
+                 lvh, lvl, lsh, lsl)]
+
+    def call(xbh, xbl, *operands):
+        """xbh/xbl: [B*nstack, padded_m, R, 128] (stack folded batch-major).
+        encrypt operands: (pkh, pkl) each [2, padded_m, R, 128];
+        decrypt operands: (sh, sl, sph, spl) each [padded_m, R, 128]."""
+        B = xbh.shape[0] // nstack
+        grid = (padded_m // mg, B)
+        if encrypt:
+            in_specs = ([spec_x(nstack)] * 2 + tab_specs
+                        + [spec_op(2)] * 2 + [spec_scalar()] * 4)
+            extra = [jnp.asarray(pnh[None]), jnp.asarray(pnl[None])]
+            out_specs = [spec_x(2), spec_x(2)]
+            out_sd = jax.ShapeDtypeStruct((B * 2, padded_m, R, LANES),
+                                          jnp.uint32)
+        else:
+            in_specs = ([spec_x(nstack)] * 2 + tab_specs
+                        + [spec_tab((mg, R, LANES))] * 4
+                        + [spec_scalar()] * 2)
+            extra = []
+            out_specs = [spec_x(1), spec_x(1)]
+            out_sd = jax.ShapeDtypeStruct((B, padded_m, R, LANES),
+                                          jnp.uint32)
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=[out_sd, out_sd],
+            interpret=interpret,
+        )(xbh, xbl, *tab_args, *operands,
+          jnp.asarray(ph[None]), jnp.asarray(plo[None]), *extra)
+
+    return call, padded_m
+
+
+def _split_stack(arrs, m, R):
+    """u64 [..., m, n] tensors -> ([B*k, m, R, 128] hi, lo) uint32 planes,
+    batch-major stacking."""
+    xs = [jnp.asarray(t).reshape((-1, m, R, LANES)) for t in arrs]
+    xb = jnp.stack(xs, axis=1).reshape((-1, m, R, LANES))
+    return ((xb >> jnp.uint64(32)).astype(jnp.uint32),
+            xb.astype(jnp.uint32))
+
+
+def _pad_chans(t, padded_m):
+    if t.shape[1] == padded_m:
+        return t
+    z = jnp.zeros((t.shape[0], padded_m - t.shape[1]) + t.shape[2:], t.dtype)
+    return jnp.concatenate([t, z], axis=1)
+
+
+def _join(hi, lo):
+    return (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+
+
+def lwe_encrypt_fused(u, e1, e2, pka, pkb, ctx, interpret=None):
+    """Fused u64 LWE encrypt chain: twist+NTT of u/e1/e2 plus both
+    Newton-mulmod muladd combines in one kernel pass.  Same contract as
+    ops/ntt_pallas.lwe_encrypt_fused; bit-identical to the jnp graph."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ring = ctx.ring
+    n, m = ring.degree, ring.nmoduli
+    R = n // LANES
+    batch = jnp.asarray(u).shape[:-2]
+    call, padded_m = _build_lwe(ring, True, bool(interpret))
+    xh, xl = _split_stack([u, e1, e2], m, R)
+    pkh, pkl = _split_stack([pka, pkb], m, R)   # [2, m, R, 128]
+    xh, xl = _pad_chans(xh, padded_m), _pad_chans(xl, padded_m)
+    pkh, pkl = _pad_chans(pkh, padded_m), _pad_chans(pkl, padded_m)
+    oh, ol = call(xh, xl, pkh, pkl)
+    out = _join(oh[:, :m], ol[:, :m]).reshape((-1, 2, m, R, LANES))
+    resa = out[:, 0].reshape(batch + (m, n))
+    resb = out[:, 1].reshape(batch + (m, n))
+    return resa, resb
+
+
+def lwe_decrypt_fused(resa, resb, s, sprime, ctx, interpret=None):
+    """Fused u64 LWE decrypt head: resb - resa*s (Shoup) + untwisted INTT in
+    one kernel pass.  Same contract as ops/ntt_pallas.lwe_decrypt_fused."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ring = ctx.ring
+    n, m = ring.degree, ring.nmoduli
+    R = n // LANES
+    batch = jnp.asarray(resa).shape[:-2]
+    call, padded_m = _build_lwe(ring, False, bool(interpret))
+    xh, xl = _split_stack([resa, resb], m, R)
+    sh, sl = _split_stack([s], m, R)
+    sph, spl = _split_stack([sprime], m, R)
+    xh, xl = _pad_chans(xh, padded_m), _pad_chans(xl, padded_m)
+    sh = _pad_chans(sh, padded_m)[0]
+    sl = _pad_chans(sl, padded_m)[0]
+    sph = _pad_chans(sph, padded_m)[0]
+    spl = _pad_chans(spl, padded_m)[0]
+    oh, ol = call(xh, xl, sh, sl, sph, spl)
+    return _join(oh[:, :m], ol[:, :m]).reshape(batch + (m, n))

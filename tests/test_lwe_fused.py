@@ -21,7 +21,15 @@ from nfllib_tpu.prng.salsa20 import Salsa20Stream
 from conftest import rand_residues
 
 
-CONFIGS = [("u32", 512, 60), ("u32", 1024, 90), ("u16", 256, 14)]
+CONFIGS = [("u32", 512, 60), ("u32", 1024, 90), ("u16", 256, 14),
+           ("u64", 512, 124)]
+
+
+def _chain_module(ring):
+    if ring.limb == "u64":
+        from nfllib_tpu.ops import ntt_pallas_u64
+        return ntt_pallas_u64
+    return ntt_pallas
 
 
 def _setup(limb, degree, agg):
@@ -41,7 +49,7 @@ def test_encrypt_fused_matches_jnp(limb, degree, agg):
     e2 = nfl.Poly.sample(ring, nfl.gaussian(g, 2), stream)
     ra, rb = lwe._encrypt_graph(ctx, keys.pka.data, keys.pkb.data,
                                 u.data, e1.data, e2.data)
-    fa, fb = ntt_pallas.lwe_encrypt_fused(
+    fa, fb = _chain_module(ring).lwe_encrypt_fused(
         u.data, e1.data, e2.data, keys.pka.data, keys.pkb.data, ctx,
         interpret=True)
     np.testing.assert_array_equal(np.asarray(fa), np.asarray(ra))
@@ -64,7 +72,7 @@ def test_decrypt_fused_matches_jnp(limb, degree, agg):
     want = modops.submod(rb, modops.mulmod(ra, keys.s.data, p_col, pn_col),
                          p_col)
     want = ntt.invntt_pow_invphi(want, ctx)
-    got = ntt_pallas.lwe_decrypt_fused(
+    got = _chain_module(ring).lwe_decrypt_fused(
         ra, rb, keys.s.data, keys.sprime.data, ctx, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
