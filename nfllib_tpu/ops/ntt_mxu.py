@@ -285,6 +285,8 @@ def _fused_tables(ring):
     w2l = np.empty((m, ndig * ndig, n2, n2), dtype=np.int8)
     tw = np.empty((m, n1, n2), dtype=np.uint32)
     tws = np.empty((m, n1, n2), dtype=np.uint32)
+    corr1 = np.zeros((m, n1, 1), dtype=np.uint32)
+    corr2 = np.zeros((m, 1, n2), dtype=np.uint32)
     shoup1 = _recombine_consts(ring, ndig)
     wshift = 16 if ring.limb == "u16" else 32
 
@@ -306,10 +308,12 @@ def _fused_tables(ring):
                       for r in range(n1)], dtype=np.uint64)
         tw[cm] = t
         tws[cm] = ((t.astype(object) << wshift) // p).astype(np.uint64)
-        _fill_digit_planes(w1l[cm], w2l[cm], e1, e2, p, dbits, ndig)
+        c1, c2 = _fill_digit_planes(w1l[cm], w2l[cm], e1, e2, p, dbits, ndig)
+        corr1[cm, :, 0] = c1
+        corr2[cm, 0, :] = c2
 
     p_vec = ctx.p.reshape(m, 1, 1).astype(np.uint32)
-    return n1, n2, w1l, w2l, tw, tws, shoup1, p_vec
+    return n1, n2, w1l, w2l, tw, tws, corr1, corr2, shoup1, p_vec
 
 
 _BAL_BIAS = 1 << 25      # makes balanced group sums nonneg (|G_a| < 2^25)
@@ -338,7 +342,16 @@ def _recombine_consts(ring, ndig):
 
 def _fill_digit_planes(w1_cm, w2_cm, e1, e2, p, dbits, ndig):
     """Pre-scaled digit planes: W^(b) = (2^(dbits*b) * W) mod p, decomposed
-    into ndig digit matrices (balanced int8 for u32, unsigned for u16)."""
+    into ndig digit matrices (balanced int8 for u32, unsigned for u16).
+
+    Returns (corr1_add[n1], corr2_add[n2]): the kernel digitizes X with
+    OFFSET bytes (d = byte - 128, no carry chains), which under-counts the
+    true product by 128 * sum_b W^(b) summed over the contraction — a
+    per-output-row (left matmul) / per-output-column (right matmul)
+    constant.  corr*_add = that mod p is added back once at recombination.
+    Zero vectors for the unsigned u16 scheme."""
+    corr1 = np.zeros(e1.shape[0], dtype=object)
+    corr2 = np.zeros(e2.shape[1], dtype=object)
     dmask = (1 << dbits) - 1
     for b in range(ndig):
         s1 = (e1 * pow(2, dbits * b, p)) % p
@@ -349,26 +362,32 @@ def _fill_digit_planes(w1_cm, w2_cm, e1, e2, p, dbits, ndig):
             for a in range(ndig):
                 w1_cm[ndig * a + b] = d1[a]
                 w2_cm[ndig * a + b] = d2[a]
+            corr1 += 128 * s1.astype(object).sum(axis=1)   # row sums
+            corr2 += 128 * s2.astype(object).sum(axis=0)   # col sums
         else:
             for a in range(ndig):
                 w1_cm[ndig * a + b] = ((s1 >> (dbits * a))
                                        & dmask).astype(np.int8)
                 w2_cm[ndig * a + b] = ((s2 >> (dbits * a))
                                        & dmask).astype(np.int8)
+    c1 = np.array([int(v) % p for v in corr1], dtype=np.uint32)
+    c2 = np.array([int(v) % p for v in corr2], dtype=np.uint32)
+    return c1, c2
 
 
 def _digitize_i8(x, dbits, ndig):
-    """u32 [r, c] -> list of ndig int8 [r, c] digit limbs (balanced base-256
-    for ndig=4, unsigned otherwise)."""
+    """u32 [r, c] -> list of ndig int8 [r, c] digit limbs.
+
+    ndig=4 (u32): OFFSET bytes d_a = byte_a - 128 in [-128, 127] — no carry
+    chains; the constant 128-per-byte under-count is a per-row/column
+    vector folded into the recombination correction (corr*_add tables).
+    Otherwise: unsigned dbits-wide digits."""
     if ndig == 4:
         xi = x.astype(jnp.int32)
-        digs = []
-        carry = jnp.zeros_like(xi)
-        for a in range(3):
-            u = ((xi >> (8 * a)) & 255) + carry
-            carry = (u >= 128).astype(jnp.int32)
-            digs.append((u - (carry << 8)).astype(jnp.int8))
-        digs.append(((xi >> 24) + carry).astype(jnp.int8))
+        off = jnp.int32(128)
+        digs = [(((xi >> (8 * a)) & 255) - off).astype(jnp.int8)
+                for a in range(3)]
+        digs.append(((xi >> 24) - off).astype(jnp.int8))
         return digs
     dmask = jnp.uint32((1 << dbits) - 1)
     return [((x >> (dbits * b)) & dmask).astype(jnp.int32)
@@ -382,7 +401,8 @@ def _digitize_i8(x, dbits, ndig):
 # batch block per program to amortize per-program dispatch/DMA overhead.
 
 
-def _left_matmul_batched(x, w_ref, p, sh, dbits, ndig, bb, n1, n2):
+def _left_matmul_batched(x, w_ref, p, sh, dbits, ndig, bb, n1, n2,
+                         corr=None):
     """W @ X_i for a [bb, n1, n2] batch block: per-element column-DFT dots
     (the small matmul), groups recombined batched."""
     xd = _digitize_i8(x, dbits, ndig)            # ndig x [bb, n1, n2] int8
@@ -398,10 +418,11 @@ def _left_matmul_batched(x, w_ref, p, sh, dbits, ndig, bb, n1, n2):
                 acc = s if acc is None else acc + s
             per_b.append(acc)
         groups.append(jnp.stack(per_b) if bb > 1 else per_b[0][None])
-    return _recombine_groups(groups, p, sh, dbits, ndig)
+    return _recombine_groups(groups, p, sh, dbits, ndig, corr)
 
 
-def _right_matmul_batched(x, w_ref, p, sh, dbits, ndig, bb, n1, n2):
+def _right_matmul_batched(x, w_ref, p, sh, dbits, ndig, bb, n1, n2,
+                          corr=None):
     """X_i @ W for a [bb, n1, n2] batch block: the bb row-DFTs stack into
     ONE [bb*n1, n2] @ [n2, n2] dot per digit pair (leading-dim collapse is
     free; the wide lhs amortizes per-dot overhead and fills the MXU)."""
@@ -416,10 +437,10 @@ def _right_matmul_batched(x, w_ref, p, sh, dbits, ndig, bb, n1, n2):
                 preferred_element_type=jnp.int32)
             acc = s if acc is None else acc + s
         groups.append(acc.reshape(bb, n1, n2))
-    return _recombine_groups(groups, p, sh, dbits, ndig)
+    return _recombine_groups(groups, p, sh, dbits, ndig, corr)
 
 
-def _recombine_groups(groups, p, sh, dbits, ndig):
+def _recombine_groups(groups, p, sh, dbits, ndig, corr=None):
     two_p = p + p
     if ndig == 2:
         u0 = (groups[0].astype(jnp.uint32)
@@ -436,26 +457,31 @@ def _recombine_groups(groups, p, sh, dbits, ndig):
         else:
             t = t + r
             t = t - jnp.where(t >= two_p, two_p, jnp.zeros_like(t))
-    t = t + sh(4)                                       # 2p - bias correction
+    if corr is not None:                # offset-byte corr < p: t < 3p < 2^32
+        t = t + corr
+        t = t - jnp.where(t >= two_p, two_p, jnp.zeros_like(t))
+    t = t + sh(4)                       # 2p - bias corr: t < 4p < 2^32
     t = t - jnp.where(t >= two_p, two_p, jnp.zeros_like(t))
     return t - jnp.where(t >= p, p, jnp.zeros_like(t))
 
 
 def _fused_kernel(dbits, ndig, mulhi, bb, n1, n2,
-                  x_ref, w1_ref, w2_ref, tw_ref, tws_ref,
+                  x_ref, w1_ref, w2_ref, tw_ref, tws_ref, c1_ref, c2_ref,
                   sh_ref, p_ref, o_ref):
     p = p_ref[0, 0, 0]
     sh = lambda j: sh_ref[0, 0, j]
     x = x_ref[...].reshape(bb, n1, n2).astype(jnp.uint32)   # [bb, n1, n2] < p
 
     # column DFT (phi twist pre-folded into W1's columns)
-    x = _left_matmul_batched(x, w1_ref[0], p, sh, dbits, ndig, bb, n1, n2)
+    x = _left_matmul_batched(x, w1_ref[0], p, sh, dbits, ndig, bb, n1, n2,
+                             corr=c1_ref[0])
     # twiddle * phi^i2 (canonical); tables broadcast over the batch block
     q = mulhi(x, tws_ref[0])
     x = x * tw_ref[0] - q * p
     x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
     # row DFT
-    x = _right_matmul_batched(x, w2_ref[0], p, sh, dbits, ndig, bb, n1, n2)
+    x = _right_matmul_batched(x, w2_ref[0], p, sh, dbits, ndig, bb, n1, n2,
+                              corr=c2_ref[0])
     o_ref[...] = x.reshape(bb, 1, n1, n2).astype(o_ref.dtype)
 
 
@@ -463,7 +489,8 @@ def _fused_kernel(dbits, ndig, mulhi, bb, n1, n2,
 def _build_fused(ring, interpret):
     ctx = ring.context()
     m = ring.nmoduli
-    n1, n2, w1l, w2l, tw, tws, shoup1, p_vec = _fused_tables(ring)
+    n1, n2, w1l, w2l, tw, tws, corr1, corr2, shoup1, p_vec = \
+        _fused_tables(ring)
     dbits, ndig = _fused_geometry(ring.degree, ring.limb)[2:]
     _i0 = np.int32(0)
 
@@ -489,6 +516,10 @@ def _build_fused(ring, interpret):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n1, n2), lambda c, b: (c, _i0, _i0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n1, 1), lambda c, b: (c, _i0, _i0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n2), lambda c, b: (c, _i0, _i0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, 5), lambda c, b: (c, _i0, _i0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, 1), lambda c, b: (c, _i0, _i0),
@@ -500,7 +531,8 @@ def _build_fused(ring, interpret):
             out_shape=jax.ShapeDtypeStruct(xb.shape, ring.dtype),
             interpret=interpret,
         )(xb, jnp.asarray(w1l), jnp.asarray(w2l), jnp.asarray(tw),
-          jnp.asarray(tws), jnp.asarray(shoup1.reshape(m, 1, 5)),
+          jnp.asarray(tws), jnp.asarray(corr1), jnp.asarray(corr2),
+          jnp.asarray(shoup1.reshape(m, 1, 5)),
           jnp.asarray(p_vec))
 
     return call
@@ -547,6 +579,8 @@ def _fused_inv_tables(ring):
     w2l = np.empty((m, ndig * ndig, n2, n2), dtype=np.int8)
     tw = np.empty((m, n1, n2), dtype=np.uint32)
     tws = np.empty((m, n1, n2), dtype=np.uint32)
+    corr1 = np.zeros((m, n1, 1), dtype=np.uint32)
+    corr2 = np.zeros((m, 1, n2), dtype=np.uint32)
     shoup1 = _recombine_consts(ring, ndig)
     wshift = 16 if ring.limb == "u16" else 32
 
@@ -572,27 +606,31 @@ def _fused_inv_tables(ring):
                       for r in range(n1)], dtype=np.uint64)       # Tinv'
         tw[cm] = t
         tws[cm] = ((t.astype(object) << wshift) // p).astype(np.uint64)
-        _fill_digit_planes(w1l[cm], w2l[cm], e1, e2, p, dbits, ndig)
+        c1, c2 = _fill_digit_planes(w1l[cm], w2l[cm], e1, e2, p, dbits, ndig)
+        corr1[cm, :, 0] = c1
+        corr2[cm, 0, :] = c2
 
     p_vec = ctx.p.reshape(m, 1, 1).astype(np.uint32)
-    return n1, n2, w1l, w2l, tw, tws, shoup1, p_vec
+    return n1, n2, w1l, w2l, tw, tws, corr1, corr2, shoup1, p_vec
 
 
 def _fused_inv_kernel(dbits, ndig, mulhi, bb, n1, n2,
                       x_ref, w1_ref, w2_ref, tw_ref,
-                      tws_ref, sh_ref, p_ref, o_ref):
+                      tws_ref, c1_ref, c2_ref, sh_ref, p_ref, o_ref):
     p = p_ref[0, 0, 0]
     sh = lambda j: sh_ref[0, 0, j]
     x = x_ref[...].reshape(bb, n1, n2).astype(jnp.uint32)   # < p, Harvey
 
     # row inverse DFT: right-multiply by W2inv
-    x = _right_matmul_batched(x, w2_ref[0], p, sh, dbits, ndig, bb, n1, n2)
+    x = _right_matmul_batched(x, w2_ref[0], p, sh, dbits, ndig, bb, n1, n2,
+                              corr=c2_ref[0])
     # inverse twiddle * inv_deg * phi^-i2 (canonical)
     q = mulhi(x, tws_ref[0])
     x = x * tw_ref[0] - q * p
     x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
     # column inverse DFT by W1inv (phi^-(n2 i1) untwist pre-folded in rows)
-    x = _left_matmul_batched(x, w1_ref[0], p, sh, dbits, ndig, bb, n1, n2)
+    x = _left_matmul_batched(x, w1_ref[0], p, sh, dbits, ndig, bb, n1, n2,
+                             corr=c1_ref[0])
     o_ref[...] = x.reshape(bb, 1, n1, n2).astype(o_ref.dtype)
 
 
@@ -600,7 +638,8 @@ def _fused_inv_kernel(dbits, ndig, mulhi, bb, n1, n2,
 def _build_fused_inv(ring, interpret):
     ctx = ring.context()
     m = ring.nmoduli
-    n1, n2, w1l, w2l, tw, tws, shoup1, p_vec = _fused_inv_tables(ring)
+    n1, n2, w1l, w2l, tw, tws, corr1, corr2, shoup1, p_vec = \
+        _fused_inv_tables(ring)
     dbits, ndig = _fused_geometry(ring.degree, ring.limb)[2:]
     _i0 = np.int32(0)
     mulhi = _mulhi_for(ring)
@@ -625,6 +664,10 @@ def _build_fused_inv(ring, interpret):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n1, n2), lambda c, b: (c, _i0, _i0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n1, 1), lambda c, b: (c, _i0, _i0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n2), lambda c, b: (c, _i0, _i0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, 5), lambda c, b: (c, _i0, _i0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, 1), lambda c, b: (c, _i0, _i0),
@@ -636,7 +679,8 @@ def _build_fused_inv(ring, interpret):
             out_shape=jax.ShapeDtypeStruct(xb.shape, ring.dtype),
             interpret=interpret,
         )(xb, jnp.asarray(w1l), jnp.asarray(w2l), jnp.asarray(tw),
-          jnp.asarray(tws), jnp.asarray(shoup1.reshape(m, 1, 5)),
+          jnp.asarray(tws), jnp.asarray(corr1), jnp.asarray(corr2),
+          jnp.asarray(shoup1.reshape(m, 1, 5)),
           jnp.asarray(p_vec))
 
     return call
