@@ -50,12 +50,11 @@ def _pallas_backend(ring):
 
 
 def _use_fused_mxu(ring) -> bool:
-    """Fused MXU matmul kernel dispatch.  Measured ~2x the VPU butterfly
-    kernel at degrees >= 4096 (docs/BENCHMARKS.md), so it owns that range;
-    below 4096 it owns only the configs the VPU kernel cannot take
-    (degree < 256, covering the reference's (8,60,u32) and (128,14,u16)
-    points with a real TPU kernel), pending an on-chip shootout of the
-    mid-range."""
+    """Fused MXU matmul kernel dispatch: it owns every u16/u32 shape on
+    TPU.  On-chip shootouts show it >= the VPU butterfly kernel across the
+    range — ~2x at n=2^14 (docs/BENCHMARKS.md) and ~2x at n=256/1024
+    (mid-range shootout; sub-30us points are noise-floored but never favor
+    the VPU path).  NFL_TPU_NTT=pallas forces the VPU kernel instead."""
     mode = os.environ.get("NFL_TPU_NTT", "auto")
     if mode in ("jnp", "pallas"):
         return False
@@ -64,12 +63,7 @@ def _use_fused_mxu(ring) -> bool:
         return False
     if mode == "mxu":
         return True
-    if jax.default_backend() != "tpu":
-        return False
-    if ring.degree >= 4096:
-        return True
-    from . import ntt_pallas
-    return not ntt_pallas.supports(ring)
+    return jax.default_backend() == "tpu"
 
 
 def _stage_tables(ctx: RingContext):
