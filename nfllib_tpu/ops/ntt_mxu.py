@@ -322,22 +322,21 @@ _BAL_BIAS = 1 << 25      # makes balanced group sums nonneg (|G_a| < 2^25)
 def _recombine_consts(ring, ndig):
     """[m, 5] per-channel SMEM constants for the group recombination.
 
-    u32 balanced (ndig=4): [s_0..s_3, corr_add] with s_a the Shoup constant
-    of 2^(8a) mod p and corr_add = 2p - (BIAS * (1+2^8+2^16+2^24)) mod p —
-    the bias correction added once at the end.
-    u16 (ndig=2): [s_0, 0, 0, 0, 0]."""
+    u32 balanced (ndig=4): [m_barrett, 0...] with m_barrett =
+    floor(2^60/p): the four biased groups pack into one 50-bit (hi, lo)
+    pair reduced by a single Barrett step (the bias constant is folded
+    into the corr_add vectors, see _fill_digit_planes).
+    u16 (ndig=2): [floor(2^32/p), 0...]."""
     m = ring.nmoduli
     out = np.zeros((m, 5), dtype=np.uint32)
     for cm in range(m):
         p = int(ring.moduli[cm])
-        if ndig == 4:
-            for a in range(4):
-                out[cm, a] = ((1 << (8 * a)) << 32) // p
-            corr = (_BAL_BIAS * (1 + (1 << 8) + (1 << 16) + (1 << 24))) % p
-            out[cm, 4] = 2 * p - corr
-        else:
-            out[cm, 0] = (1 << 32) // p
+        out[cm, 0] = ((1 << 60) // p) if ndig == 4 else ((1 << 32) // p)
     return out
+
+
+# constant over-count of the biased pack: sum_a BIAS * 2^(8a)
+_BIAS_SUM = _BAL_BIAS * (1 + (1 << 8) + (1 << 16) + (1 << 24))
 
 
 def _fill_digit_planes(w1_cm, w2_cm, e1, e2, p, dbits, ndig):
@@ -348,7 +347,8 @@ def _fill_digit_planes(w1_cm, w2_cm, e1, e2, p, dbits, ndig):
     OFFSET bytes (d = byte - 128, no carry chains), which under-counts the
     true product by 128 * sum_b W^(b) summed over the contraction — a
     per-output-row (left matmul) / per-output-column (right matmul)
-    constant.  corr*_add = that mod p is added back once at recombination.
+    constant.  corr*_add = (that - _BIAS_SUM) mod p is added back once at
+    recombination (the biased Barrett pack over-counts by _BIAS_SUM).
     Zero vectors for the unsigned u16 scheme."""
     corr1 = np.zeros(e1.shape[0], dtype=object)
     corr2 = np.zeros(e2.shape[1], dtype=object)
@@ -370,8 +370,9 @@ def _fill_digit_planes(w1_cm, w2_cm, e1, e2, p, dbits, ndig):
                                        & dmask).astype(np.int8)
                 w2_cm[ndig * a + b] = ((s2 >> (dbits * a))
                                        & dmask).astype(np.int8)
-    c1 = np.array([int(v) % p for v in corr1], dtype=np.uint32)
-    c2 = np.array([int(v) % p for v in corr2], dtype=np.uint32)
+    bias = _BIAS_SUM if ndig == 4 else 0
+    c1 = np.array([(int(v) - bias) % p for v in corr1], dtype=np.uint32)
+    c2 = np.array([(int(v) - bias) % p for v in corr2], dtype=np.uint32)
     return c1, c2
 
 
@@ -402,7 +403,7 @@ def _digitize_i8(x, dbits, ndig):
 
 
 def _left_matmul_batched(x, w_ref, p, sh, dbits, ndig, bb, n1, n2,
-                         corr=None):
+                         corr=None, strict=True):
     """W @ X_i for a [bb, n1, n2] batch block: per-element column-DFT dots
     (the small matmul), groups recombined batched."""
     xd = _digitize_i8(x, dbits, ndig)            # ndig x [bb, n1, n2] int8
@@ -418,11 +419,11 @@ def _left_matmul_batched(x, w_ref, p, sh, dbits, ndig, bb, n1, n2,
                 acc = s if acc is None else acc + s
             per_b.append(acc)
         groups.append(jnp.stack(per_b) if bb > 1 else per_b[0][None])
-    return _recombine_groups(groups, p, sh, dbits, ndig, corr)
+    return _recombine_groups(groups, p, sh, dbits, ndig, corr, strict)
 
 
 def _right_matmul_batched(x, w_ref, p, sh, dbits, ndig, bb, n1, n2,
-                          corr=None):
+                          corr=None, strict=True):
     """X_i @ W for a [bb, n1, n2] batch block: the bb row-DFTs stack into
     ONE [bb*n1, n2] @ [n2, n2] dot per digit pair (leading-dim collapse is
     free; the wide lhs amortizes per-dot overhead and fills the MXU)."""
@@ -437,31 +438,42 @@ def _right_matmul_batched(x, w_ref, p, sh, dbits, ndig, bb, n1, n2,
                 preferred_element_type=jnp.int32)
             acc = s if acc is None else acc + s
         groups.append(acc.reshape(bb, n1, n2))
-    return _recombine_groups(groups, p, sh, dbits, ndig, corr)
+    return _recombine_groups(groups, p, sh, dbits, ndig, corr, strict)
 
 
-def _recombine_groups(groups, p, sh, dbits, ndig, corr=None):
+def _recombine_groups(groups, p, sh, dbits, ndig, corr=None, strict=True):
     two_p = p + p
     if ndig == 2:
         u0 = (groups[0].astype(jnp.uint32)
               + (groups[1].astype(jnp.uint32) << dbits))
         t = u0 - modops._mulhi_u32(u0, sh(0)) * p       # < 2p
         return t - jnp.where(t >= p, p, jnp.zeros_like(t))
+    # balanced u32: pack the four biased groups (G'_a = G_a + 2^25 < 2^26)
+    # into one 50-bit v = sum G'_a 2^(8a) held as (hi, lo), then ONE
+    # Barrett step with m = floor(2^60/p): q = hi32((v >> 28) * m),
+    # r = v - q*p < 4p (exact in wrapping 32-bit: see modops Barrett
+    # derivation, valid for v < 2^60).  The bias over-count lives in corr.
     bias = jnp.int32(_BAL_BIAS)
-    t = None
-    for a in range(4):
-        g = (groups[a] + bias).astype(jnp.uint32)
-        r = (g << (8 * a)) - modops._mulhi_u32(g, sh(a)) * p
-        if t is None:
-            t = r
-        else:
-            t = t + r
-            t = t - jnp.where(t >= two_p, two_p, jnp.zeros_like(t))
-    if corr is not None:                # offset-byte corr < p: t < 3p < 2^32
+    g = [(groups[a] + bias).astype(jnp.uint32) for a in range(4)]
+    lo1 = g[0] + (g[1] << 8)
+    c1 = (lo1 < g[0]).astype(jnp.uint32)
+    lo2 = lo1 + (g[2] << 16)
+    c2 = (lo2 < lo1).astype(jnp.uint32)
+    lo = lo2 + (g[3] << 24)
+    c3 = (lo < lo2).astype(jnp.uint32)
+    hi = (g[1] >> 24) + (g[2] >> 16) + (g[3] >> 8) + c1 + c2 + c3
+    a28 = (hi << 4) | (lo >> 28)
+    q = modops._mulhi_u32(a28, sh(0))
+    t = lo - q * p                                      # < 4p
+    t = t - jnp.where(t >= two_p, two_p, jnp.zeros_like(t))
+    if corr is not None:   # (offset-byte - bias) corr < p: t < 3p < 2^32
         t = t + corr
         t = t - jnp.where(t >= two_p, two_p, jnp.zeros_like(t))
-    t = t + sh(4)                       # 2p - bias corr: t < 4p < 2^32
-    t = t - jnp.where(t >= two_p, two_p, jnp.zeros_like(t))
+    if not strict:
+        # lazy [0, 2p) result: the offset-byte digitizer and the Shoup
+        # twiddle both tolerate any input < 2^31, so intermediate stages
+        # skip the canonicalizing subtract (u32 tier only)
+        return t
     return t - jnp.where(t >= p, p, jnp.zeros_like(t))
 
 
@@ -470,16 +482,18 @@ def _fused_kernel(dbits, ndig, mulhi, bb, n1, n2,
                   sh_ref, p_ref, o_ref):
     p = p_ref[0, 0, 0]
     sh = lambda j: sh_ref[0, 0, j]
+    lazy = ndig == 4          # u32: intermediates may stay in [0, 2p)
     x = x_ref[...].reshape(bb, n1, n2).astype(jnp.uint32)   # [bb, n1, n2] < p
 
     # column DFT (phi twist pre-folded into W1's columns)
     x = _left_matmul_batched(x, w1_ref[0], p, sh, dbits, ndig, bb, n1, n2,
-                             corr=c1_ref[0])
-    # twiddle * phi^i2 (canonical); tables broadcast over the batch block
+                             corr=c1_ref[0], strict=not lazy)
+    # twiddle * phi^i2; tables broadcast over the batch block
     q = mulhi(x, tws_ref[0])
     x = x * tw_ref[0] - q * p
-    x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
-    # row DFT
+    if not lazy:
+        x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
+    # row DFT (strict: kernel outputs are canonical)
     x = _right_matmul_batched(x, w2_ref[0], p, sh, dbits, ndig, bb, n1, n2,
                               corr=c2_ref[0])
     o_ref[...] = x.reshape(bb, 1, n1, n2).astype(o_ref.dtype)
@@ -619,16 +633,19 @@ def _fused_inv_kernel(dbits, ndig, mulhi, bb, n1, n2,
                       tws_ref, c1_ref, c2_ref, sh_ref, p_ref, o_ref):
     p = p_ref[0, 0, 0]
     sh = lambda j: sh_ref[0, 0, j]
+    lazy = ndig == 4          # u32: intermediates may stay in [0, 2p)
     x = x_ref[...].reshape(bb, n1, n2).astype(jnp.uint32)   # < p, Harvey
 
     # row inverse DFT: right-multiply by W2inv
     x = _right_matmul_batched(x, w2_ref[0], p, sh, dbits, ndig, bb, n1, n2,
-                              corr=c2_ref[0])
-    # inverse twiddle * inv_deg * phi^-i2 (canonical)
+                              corr=c2_ref[0], strict=not lazy)
+    # inverse twiddle * inv_deg * phi^-i2
     q = mulhi(x, tws_ref[0])
     x = x * tw_ref[0] - q * p
-    x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
-    # column inverse DFT by W1inv (phi^-(n2 i1) untwist pre-folded in rows)
+    if not lazy:
+        x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
+    # column inverse DFT by W1inv (phi^-(n2 i1) untwist pre-folded in rows;
+    # strict: kernel outputs are canonical)
     x = _left_matmul_batched(x, w1_ref[0], p, sh, dbits, ndig, bb, n1, n2,
                              corr=c1_ref[0])
     o_ref[...] = x.reshape(bb, 1, n1, n2).astype(o_ref.dtype)
