@@ -384,12 +384,11 @@ def _digitize_i8(x, dbits, ndig):
     vector folded into the recombination correction (corr*_add tables).
     Otherwise: unsigned dbits-wide digits."""
     if ndig == 4:
+        # ((x >> 8a) - 128) mod 256, signed-interpreted, IS byte_a - 128 for
+        # any byte value — the int8 cast wraps, so no mask is needed
         xi = x.astype(jnp.int32)
         off = jnp.int32(128)
-        digs = [(((xi >> (8 * a)) & 255) - off).astype(jnp.int8)
-                for a in range(3)]
-        digs.append(((xi >> 24) - off).astype(jnp.int8))
-        return digs
+        return [((xi >> (8 * a)) - off).astype(jnp.int8) for a in range(4)]
     dmask = jnp.uint32((1 << dbits) - 1)
     return [((x >> (dbits * b)) & dmask).astype(jnp.int32)
             .astype(jnp.int8) for b in range(ndig)]
