@@ -69,18 +69,21 @@ def main():
         _ = np.asarray(out[0, 0, 0:1])
         return time.perf_counter() - t0
 
-    # The tunnel/chip load varies in minutes-long regimes (observed 3x
+    # The tunnel/chip load varies in minutes-long regimes (observed 1.5-3x
     # swings); interference only ever ADDS time, so the chip-capability
     # estimator is the MINIMUM chain-differenced time.  Within each window
     # the 1-chain and K-chain calls are interleaved so both mins sample the
-    # same regime; the min across windows then captures the idle-chip rate.
+    # same regime; windows are SPACED ~25 s apart so the run spans several
+    # regime shifts, and the min across windows captures the idle-chip rate.
     diffs = []
-    for _ in range(8):
+    for w in range(8):
         t1 = tk = float("inf")
         for _ in range(4):
             t1 = min(t1, one(1))
             tk = min(tk, one(chain))
         diffs.append((tk - t1) / (chain - 1))
+        if w < 7:
+            time.sleep(25)
     diffs.sort()
     per_app = diffs[0]
     print(f"[bench] window spread: best {diffs[0]*1e6:.1f} us, median "
