@@ -563,9 +563,10 @@ def _build_lwe(ring, encrypt, interpret):
         spec_tab((mg, LOG_LANES, LANES)), spec_tab((mg, LOG_LANES, LANES)),
         spec_tab((mg, LOG_LANES, LANES)), spec_tab((mg, LOG_LANES, LANES)),
     ]
-    tab_args = [jnp.asarray(t) for t in
-                (twh, twl, stwh, stwl, wmh, wml, wsh, wsl,
-                 lvh, lvl, lsh, lsl)]
+    # numpy here, jnp.asarray INSIDE call: this builder is lru-cached, and
+    # converting at build time under an outer jit trace would cache tracers
+    # (UnexpectedTracerError on the next use)
+    tab_np = (twh, twl, stwh, stwl, wmh, wml, wsh, wsl, lvh, lvl, lsh, lsl)
 
     def call(xbh, xbl, *operands):
         """xbh/xbl: [B*nstack, padded_m, R, 128] (stack folded batch-major).
@@ -595,7 +596,7 @@ def _build_lwe(ring, encrypt, interpret):
             out_specs=out_specs,
             out_shape=[out_sd, out_sd],
             interpret=interpret,
-        )(xbh, xbl, *tab_args, *operands,
+        )(xbh, xbl, *[jnp.asarray(t) for t in tab_np], *operands,
           jnp.asarray(ph[None]), jnp.asarray(plo[None]), *extra)
 
     return call, padded_m

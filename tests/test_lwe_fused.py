@@ -77,6 +77,34 @@ def test_decrypt_fused_matches_jnp(limb, degree, agg):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_first_use_inside_jit_does_not_leak(monkeypatch):
+    """First construction of a fused-chain kernel INSIDE an outer jit trace
+    must not cache traced constants (regression: the u64 builder hoisted
+    jnp.asarray(table) into its lru-cached scope; a jitted first call left
+    tracers in the cache and the next call raised UnexpectedTracerError)."""
+    import jax
+    from nfllib_tpu.ops import ntt_pallas_u64
+
+    ring = nfl.ring_from_modulus("u64", 256, 124)
+    ctx = ring.context()
+    stream = Salsa20Stream(b"\x06" * 32)
+    g = lwe.make_gaussian_prng()
+    keys = lwe.keygen(ring, stream, g)
+    u = nfl.Poly.sample(ring, nfl.gaussian(g), stream)
+    e1 = nfl.Poly.sample(ring, nfl.gaussian(g, 2), stream)
+    e2 = nfl.Poly.sample(ring, nfl.gaussian(g, 2), stream)
+
+    ntt_pallas_u64._build_lwe.cache_clear()
+    jitted = jax.jit(lambda uu: ntt_pallas_u64.lwe_encrypt_fused(
+        uu, e1.data, e2.data, keys.pka.data, keys.pkb.data, ctx,
+        interpret=True)[0])
+    first = np.asarray(jitted(u.data))       # builds the kernel under trace
+    second = np.asarray(ntt_pallas_u64.lwe_encrypt_fused(
+        u.data, e1.data, e2.data, keys.pka.data, keys.pkb.data, ctx,
+        interpret=True)[0])                  # must not see stale tracers
+    np.testing.assert_array_equal(first, second)
+
+
 def test_fused_chain_batched(rng):
     """Leading batch axes flow through both fused kernels."""
     ring, stream, g, keys = _setup("u32", 512, 60)
