@@ -49,21 +49,29 @@ def _pallas_backend(ring):
     return mod if jax.default_backend() == "tpu" else None
 
 
-def _use_fused_mxu(ring) -> bool:
-    """Fused MXU matmul kernel dispatch: it owns every u16/u32 shape on
-    TPU.  On-chip shootouts show it >= the VPU butterfly kernel across the
-    range — ~2x at n=2^14 (docs/BENCHMARKS.md) and ~2x at n=256/1024
-    (mid-range shootout; sub-30us points are noise-floored but never favor
-    the VPU path).  NFL_TPU_NTT=pallas forces the VPU kernel instead."""
+def _fused_mxu_module(ring):
+    """Fused MXU matmul kernel dispatch: the int8 MXU kernels own every
+    supported shape on TPU.  On-chip shootouts show them >= the VPU
+    butterfly kernels across the range — ~2x at n=2^14 u32 and ~2x at
+    n=256/1024 (docs/BENCHMARKS.md), and 5.1-5.4x over the paired-u32 VPU
+    kernel on the 62-bit tier at n=8192/32768.  NFL_TPU_NTT=pallas forces
+    the VPU kernels instead.  Returns the kernel module or None."""
     mode = os.environ.get("NFL_TPU_NTT", "auto")
     if mode in ("jnp", "pallas"):
-        return False
-    from . import ntt_mxu
-    if not ntt_mxu.supports_fused(ring):
-        return False
+        return None
+    if ring.limb == "u64":
+        from . import ntt_mxu_u64 as mod
+    else:
+        from . import ntt_mxu as mod
+    if not mod.supports_fused(ring):
+        return None
     if mode == "mxu":
-        return True
-    return jax.default_backend() == "tpu"
+        return mod
+    return mod if jax.default_backend() == "tpu" else None
+
+
+def _use_fused_mxu(ring) -> bool:
+    return _fused_mxu_module(ring) is not None
 
 
 def _stage_tables(ctx: RingContext):
@@ -154,9 +162,9 @@ def inv_ntt(x, ctx: RingContext):
 def ntt_pow_phi(x, ctx: RingContext):
     """Negacyclic forward transform: fused shoup(x * phi^i) pre-twist then NTT
     (reference core.hpp:594-600)."""
-    if _use_fused_mxu(ctx.ring):
-        from . import ntt_mxu
-        return ntt_mxu.ntt_pow_phi_fused(jnp.asarray(x), ctx)
+    fused = _fused_mxu_module(ctx.ring)
+    if fused is not None:
+        return fused.ntt_pow_phi_fused(jnp.asarray(x), ctx)
     mod = _pallas_backend(ctx.ring)
     if mod is not None:
         return mod.ntt_fwd(jnp.asarray(x), ctx, twist=True)
@@ -170,9 +178,9 @@ def ntt_pow_phi(x, ctx: RingContext):
 def invntt_pow_invphi(x, ctx: RingContext):
     """Inverse transform with fused n^-1 * phi^-i un-twist
     (reference core.hpp:608-614)."""
-    if _use_fused_mxu(ctx.ring):
-        from . import ntt_mxu
-        return ntt_mxu.invntt_pow_invphi_fused(jnp.asarray(x), ctx)
+    fused = _fused_mxu_module(ctx.ring)
+    if fused is not None:
+        return fused.invntt_pow_invphi_fused(jnp.asarray(x), ctx)
     mod = _pallas_backend(ctx.ring)
     if mod is not None:
         return mod.intt_bwd(jnp.asarray(x), ctx, untwist=True)

@@ -1,0 +1,357 @@
+"""Fused int8 MXU NTT/INTT kernels for the u64 (62-bit-moduli) tier.
+
+The paired-u32 VPU butterfly kernel (ops/ntt_pallas_u64.py) spends ~6
+double-word multiplies per butterfly on the VPU; this kernel moves the
+multiplies to the MXU with the same four-step formulation as the u32 tier
+(ops/ntt_mxu.py), scaled up to 62-bit operands:
+
+  * Values decompose into EIGHT offset-byte digits (d = byte - 128, full
+    signed-int8 range, no carry chains) -> 64 int8 MXU dots per mod-matmul,
+    with the constant under-count folded into per-row/column pair-valued
+    correction vectors.
+  * The DFT matrices are pre-scaled per input digit (W^(b) = 2^(8b) W mod p)
+    and host-decomposed into balanced carried digits, so the digit
+    cross-terms accumulate INSIDE the int32 MXU accumulators
+    (|G_a| <= 8*128^2*k < 2^26 for the tier's max contraction 256).
+  * Recombination: the eight biased groups pack into one ~83-bit value held
+    as three u32 words (shift/carry adds), reduced by a single Barrett step
+    with m = floor(2^124/p): q = hi64((v >> 60) * m) fits u32, r = v - q*p
+    < 4p exact in wrapping pair arithmetic (p < 2^62).
+  * The phi twist/untwist fold into the DFT matrices and pair-Shoup twiddle
+    tables exactly as in the u32 kernel; intermediates stay lazy in [0, 2p)
+    (< 2^63, so offset-byte digits still cover them); only kernel outputs
+    pay the canonical subtract.
+
+Bit-identical to ops/ntt.py's jnp path (reference semantics:
+include/nfl/core.hpp:438-614; the 62-bit tier contract of ops.hpp:201-219).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import bitrev_indices, static_log2
+from . import modops
+from .ntt_pallas_u64 import (
+    _split, p_add, p_ge, p_mulhi, p_mullo, p_reduce_once, p_select,
+    p_shoup_lazy, p_sub,
+)
+
+_NDIG = 8
+_BIAS = 1 << 26          # > max |G_a| = 8 * 128^2 * 256 = 2^25
+_BIAS_SUM = _BIAS * sum(1 << (8 * a) for a in range(_NDIG))
+_I0 = np.int32(0)
+
+
+def supports_fused(ring) -> bool:
+    """Degrees 8..65536: above that the digit-plane tables (64 * n2^2 int8
+    per channel) outgrow VMEM."""
+    return ring.limb == "u64" and 8 <= ring.degree <= 65536
+
+
+def _geometry(n):
+    n1 = 1 << (static_log2(n) // 2)
+    return n1, n // n1
+
+
+def _balanced_digits_host64(v):
+    """uint64-ish [r, c] (< 2^63 - 2^56) -> [8, r, c] int8 balanced base-256
+    digits."""
+    v = np.asarray(v, dtype=np.uint64).astype(object)
+    digs = []
+    carry = np.zeros(v.shape, dtype=object)
+    for a in range(_NDIG - 1):
+        u = ((v >> (8 * a)) & 0xFF) + carry
+        carry = (u >= 128).astype(object)
+        digs.append(u - (carry << 8))
+    digs.append((v >> (8 * (_NDIG - 1))) + carry)
+    out = np.stack([d.astype(np.int64) for d in digs], axis=0)
+    assert out.min() >= -128 and out.max() <= 127
+    return out.astype(np.int8)
+
+
+def _fill_planes64(w1_cm, w2_cm, e1, e2, p):
+    """Digit planes of the pre-scaled DFT matrices + the offset-byte
+    correction sums (128 * row/col sums of every W^(b), minus the
+    recombination bias over-count), as python ints mod p."""
+    corr1 = np.zeros(e1.shape[0], dtype=object)
+    corr2 = np.zeros(e2.shape[1], dtype=object)
+    for b in range(_NDIG):
+        s1 = (e1 * pow(2, 8 * b, p)) % p
+        s2 = (e2 * pow(2, 8 * b, p)) % p
+        d1 = _balanced_digits_host64(s1)
+        d2 = _balanced_digits_host64(s2)
+        for a in range(_NDIG):
+            w1_cm[_NDIG * a + b] = d1[a]
+            w2_cm[_NDIG * a + b] = d2[a]
+        corr1 += 128 * s1.sum(axis=1)
+        corr2 += 128 * s2.sum(axis=0)
+    c1 = np.array([(int(v) - _BIAS_SUM) % p for v in corr1], dtype=np.uint64)
+    c2 = np.array([(int(v) - _BIAS_SUM) % p for v in corr2], dtype=np.uint64)
+    return c1, c2
+
+
+@functools.lru_cache(maxsize=None)
+def _tables64(ring, inverse):
+    ctx = ring.context()
+    n, m = ring.degree, ring.nmoduli
+    n1, n2 = _geometry(n)
+    rev1 = bitrev_indices(n1)
+    rev2 = bitrev_indices(n2)
+
+    w1l = np.empty((m, _NDIG * _NDIG, n1, n1), dtype=np.int8)
+    w2l = np.empty((m, _NDIG * _NDIG, n2, n2), dtype=np.int8)
+    tw = np.empty((m, n1, n2), dtype=np.uint64)
+    tws = np.empty((m, n1, n2), dtype=np.uint64)
+    corr1 = np.zeros((m, n1, 1), dtype=np.uint64)
+    corr2 = np.zeros((m, 1, n2), dtype=np.uint64)
+    mbar = np.empty((m, 1, 1), dtype=np.uint64)   # floor(2^124/p)
+
+    for cm in range(m):
+        p = int(ring.moduli[cm])
+        w = ctx.omega_int[cm]
+        phi = ctx.phi_int[cm]
+        if not inverse:
+            wc, wr = pow(w, n2, p), pow(w, n1, p)
+            e1 = np.array(
+                [[(pow(wc, int(rev1[r]) * i1, p) * pow(phi, n2 * i1, p)) % p
+                  for i1 in range(n1)] for r in range(n1)], dtype=object)
+            e2 = np.array(
+                [[pow(wr, i2 * int(rev2[c]), p) for c in range(n2)]
+                 for i2 in range(n2)], dtype=object)
+            t = np.array(
+                [[(pow(w, int(rev1[r]) * i2, p) * pow(phi, i2, p)) % p
+                  for i2 in range(n2)] for r in range(n1)], dtype=object)
+        else:
+            iw = pow(w, -1, p)
+            iphi = pow(phi, -1, p)
+            inv_deg = int(ctx.invpolyDegree[cm])
+            iwc, iwr = pow(iw, n2, p), pow(iw, n1, p)
+            e1 = np.array(
+                [[(pow(iwc, i1 * int(rev1[r]), p)
+                   * pow(iphi, n2 * i1, p)) % p for r in range(n1)]
+                 for i1 in range(n1)], dtype=object)            # W1inv'
+            e2 = np.array(
+                [[pow(iwr, int(rev2[c]) * i2, p) for i2 in range(n2)]
+                 for c in range(n2)], dtype=object)             # W2inv
+            t = np.array(
+                [[(pow(iw, int(rev1[r]) * i2, p)
+                   * inv_deg * pow(iphi, i2, p)) % p
+                  for i2 in range(n2)] for r in range(n1)], dtype=object)
+        tw[cm] = t.astype(np.uint64)
+        tws[cm] = np.array([[(int(v) << 64) // p for v in row] for row in t],
+                           dtype=object).astype(np.uint64)
+        c1, c2 = _fill_planes64(w1l[cm], w2l[cm], e1, e2, p)
+        corr1[cm, :, 0] = c1
+        corr2[cm, 0, :] = c2
+        mbar[cm, 0, 0] = (1 << 124) // p
+
+    p_vec = ctx.p.reshape(m, 1, 1)
+    return (n1, n2, w1l, w2l, _split(tw), _split(tws), _split(corr1),
+            _split(corr2), _split(mbar), _split(p_vec))
+
+
+def _digitize64(xp):
+    """(hi, lo) uint32 pair [r, c] (value < 2^63) -> 8 int8 offset-byte
+    digit planes.  Shifts happen in uint32 (logical — an int32 arithmetic
+    shift would sign-extend for lo >= 2^31); the int8 cast wraps mod 256,
+    making the subsequent -128 exact per byte."""
+    hi, lo = xp
+    off = jnp.int32(128)
+    digs = [((lo >> (8 * a)).astype(jnp.int32) - off).astype(jnp.int8)
+            for a in range(4)]
+    digs += [((hi >> (8 * a)).astype(jnp.int32) - off).astype(jnp.int8)
+             for a in range(4)]
+    return digs
+
+
+def _recombine64(groups, p, mbar, corr, strict):
+    """sum_a 2^(8a) (G_a + BIAS) mod p via one Barrett step.
+
+    groups: 8 int32 arrays; p, mbar, corr: (hi, lo) pairs.  Packs the
+    biased groups into three u32 words (v < 2^83), q = hi64((v>>60)*mbar)
+    < 2^22, r = v - q*p < 4p < 2^64 exact in wrapping pair arithmetic."""
+    bias = jnp.int32(_BIAS)
+    g = [(groups[a] + bias).astype(jnp.uint32) for a in range(_NDIG)]
+    # word 0: g0..g3 shifted into bits 0..31
+    w0 = g[0] + (g[1] << 8)
+    c = (w0 < g[0]).astype(jnp.uint32)
+    w0b = w0 + (g[2] << 16)
+    c = c + (w0b < w0).astype(jnp.uint32)
+    w0c = w0b + (g[3] << 24)
+    c = c + (w0c < w0b).astype(jnp.uint32)
+    # word 1: spill of g1..g3, carry, g4..g7 shifted
+    t1 = (g[1] >> 24) + (g[2] >> 16) + (g[3] >> 8) + c + g[4]   # < 2^28
+    w1 = t1 + (g[5] << 8)
+    c2 = (w1 < t1).astype(jnp.uint32)
+    w1b = w1 + (g[6] << 16)
+    c2 = c2 + (w1b < w1).astype(jnp.uint32)
+    w1c = w1b + (g[7] << 24)
+    c2 = c2 + (w1c < w1b).astype(jnp.uint32)
+    # word 2: spill of g5..g7 + carry (v < 2^83 so w2 < 2^19)
+    w2 = (g[5] >> 24) + (g[6] >> 16) + (g[7] >> 8) + c2
+    a60 = (w2 << 4) | (w1c >> 28)                 # v >> 60, < 2^23
+    z = jnp.zeros_like(a60)
+    q = p_mulhi((z, a60), mbar)[1]                # hi64 of a60*m, < 2^22
+    r = p_sub((w1c, w0c), p_mullo((z, q), p))     # v - q*p < 4p < 2^64
+    two_p = p_add(p, p)
+    r = p_select(p_ge(r, two_p), p_sub(r, two_p), r)
+    r = p_add(r, corr)                            # + (offset - bias) corr < p
+    r = p_select(p_ge(r, two_p), p_sub(r, two_p), r)
+    if strict:
+        r = p_reduce_once(r, p)
+    return r
+
+
+def _left_matmul64(xp, w_ref, p, mbar, corr, bb, n1, n2, strict):
+    xd = _digitize64(xp)
+    groups = []
+    for a in range(_NDIG):
+        per_b = []
+        for i in range(bb):
+            acc = None
+            for b in range(_NDIG):
+                s = jax.lax.dot_general(
+                    w_ref[_NDIG * a + b], xd[b][i], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                acc = s if acc is None else acc + s
+            per_b.append(acc)
+        groups.append(jnp.stack(per_b) if bb > 1 else per_b[0][None])
+    return _recombine64(groups, p, mbar, corr, strict)
+
+
+def _right_matmul64(xp, w_ref, p, mbar, corr, bb, n1, n2, strict):
+    xd = _digitize64(xp)
+    xs = [d.reshape(bb * n1, n2) for d in xd]
+    groups = []
+    for a in range(_NDIG):
+        acc = None
+        for b in range(_NDIG):
+            s = jax.lax.dot_general(
+                xs[b], w_ref[_NDIG * a + b], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc = s if acc is None else acc + s
+        groups.append(acc.reshape(bb, n1, n2))
+    return _recombine64(groups, p, mbar, corr, strict)
+
+
+def _kernel64(inverse, bb, n1, n2,
+              xh_ref, xl_ref, w1_ref, w2_ref, twh_ref, twl_ref,
+              tsh_ref, tsl_ref, c1h_ref, c1l_ref, c2h_ref, c2l_ref,
+              mh_ref, ml_ref, ph_ref, pl_ref, oh_ref, ol_ref):
+    p = (ph_ref[0, 0, 0], pl_ref[0, 0, 0])
+    mbar = (mh_ref[0, 0, 0], ml_ref[0, 0, 0])
+    c1 = (c1h_ref[0], c1l_ref[0])
+    c2 = (c2h_ref[0], c2l_ref[0])
+    tw = (twh_ref[0], twl_ref[0])
+    tws = (tsh_ref[0], tsl_ref[0])
+    x = (xh_ref[...].reshape(bb, n1, n2), xl_ref[...].reshape(bb, n1, n2))
+
+    first = (_left_matmul64 if not inverse else _right_matmul64)
+    second = (_right_matmul64 if not inverse else _left_matmul64)
+    cfirst, csecond = (c1, c2) if not inverse else (c2, c1)
+    wfirst = w1_ref[0] if not inverse else w2_ref[0]
+    wsecond = w2_ref[0] if not inverse else w1_ref[0]
+
+    x = first(x, wfirst, p, mbar, cfirst, bb, n1, n2, strict=False)
+    x = p_shoup_lazy(x, tw, tws, p)               # twiddle, lazy < 2p < 2^63
+    x = second(x, wsecond, p, mbar, csecond, bb, n1, n2, strict=True)
+    oh_ref[...] = x[0].reshape(bb, 1, n1, n2)
+    ol_ref[...] = x[1].reshape(bb, 1, n1, n2)
+
+
+def _batch_block(B, n):
+    """~8 MB VMEM estimate: pairs + 8 int8 digit planes + int32 groups live
+    (~30 words/coeff)."""
+    cap = max(1, (8 << 20) // (30 * 4 * n))
+    for bb in (8, 4, 2):
+        if bb <= cap and B % bb == 0:
+            return bb
+    return 1
+
+
+@functools.lru_cache(maxsize=None)
+def _build64(ring, inverse, interpret):
+    m = ring.nmoduli
+    (n1, n2, w1l, w2l, (twh, twl), (tsh, tsl), (c1h, c1l), (c2h, c2l),
+     (mh, ml), (ph, plo)) = _tables64(ring, inverse)
+
+    def call(xbh, xbl):
+        B = xbh.shape[0]
+        bb = _batch_block(B, ring.degree)
+
+        def spec_x(k):
+            return pl.BlockSpec((k, 1, n1, n2),
+                                lambda c, b: (b, c, _I0, _I0),
+                                memory_space=pltpu.VMEM)
+
+        def spec_tab(shape):
+            return pl.BlockSpec(
+                shape, lambda c, b: (c,) + (_I0,) * (len(shape) - 1),
+                memory_space=pltpu.VMEM)
+
+        out_sd = jax.ShapeDtypeStruct(xbh.shape, jnp.uint32)
+        return pl.pallas_call(
+            functools.partial(_kernel64, inverse, bb, n1, n2),
+            grid=(m, B // bb),
+            in_specs=[
+                spec_x(bb), spec_x(bb),
+                spec_tab((1, _NDIG * _NDIG, n1, n1)),
+                spec_tab((1, _NDIG * _NDIG, n2, n2)),
+                spec_tab((1, n1, n2)), spec_tab((1, n1, n2)),
+                spec_tab((1, n1, n2)), spec_tab((1, n1, n2)),
+                spec_tab((1, n1, 1)), spec_tab((1, n1, 1)),
+                spec_tab((1, 1, n2)), spec_tab((1, 1, n2)),
+                pl.BlockSpec((1, 1, 1), lambda c, b: (c, _I0, _I0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1), lambda c, b: (c, _I0, _I0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1), lambda c, b: (c, _I0, _I0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1), lambda c, b: (c, _I0, _I0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=[spec_x(bb), spec_x(bb)],
+            out_shape=[out_sd, out_sd],
+            interpret=interpret,
+        )(xbh, xbl, jnp.asarray(w1l), jnp.asarray(w2l),
+          jnp.asarray(twh), jnp.asarray(twl), jnp.asarray(tsh),
+          jnp.asarray(tsl), jnp.asarray(c1h), jnp.asarray(c1l),
+          jnp.asarray(c2h), jnp.asarray(c2l), jnp.asarray(mh),
+          jnp.asarray(ml), jnp.asarray(ph), jnp.asarray(plo))
+
+    return call
+
+
+def _run64(x, ctx, inverse, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ring = ctx.ring
+    m, n = ring.nmoduli, ring.degree
+    n1, n2 = _geometry(n)
+    x = jnp.asarray(x)
+    batch = x.shape[:-2]
+    xb = x.reshape((-1, m, n1, n2))
+    xbh = (xb >> jnp.uint64(32)).astype(jnp.uint32)
+    xbl = xb.astype(jnp.uint32)
+    call = _build64(ring, bool(inverse), bool(interpret))
+    oh, ol = call(xbh, xbl)
+    out = (oh.astype(jnp.uint64) << jnp.uint64(32)) | ol.astype(jnp.uint64)
+    return out.reshape(batch + (m, n))
+
+
+def ntt_pow_phi_fused(x, ctx, *, interpret=None):
+    """Forward negacyclic transform of u64 [..., m, n] via the fused int8
+    MXU kernel; bit-identical to ops/ntt.py ntt_pow_phi."""
+    return _run64(x, ctx, False, interpret)
+
+
+def invntt_pow_invphi_fused(x, ctx, *, interpret=None):
+    """Inverse negacyclic transform (fused untwist); bit-identical to
+    ops/ntt.py invntt_pow_invphi."""
+    return _run64(x, ctx, True, interpret)
