@@ -60,15 +60,23 @@ def keygen(ring: Ring, stream: Salsa20Stream,
 
 def _fused_chain_module(ring):
     """Kernel module for whole encrypt/decrypt chains (transform + pointwise
-    combines in one VMEM residency) on TPU: ops/ntt_pallas.py for u16/u32,
-    ops/ntt_pallas_u64.py (paired-u32) for the 62-bit tier; None -> jnp
-    graphs.  NFL_TPU_NTT=jnp opts out, =pallas/mxu forces (interpret mode
-    off-TPU)."""
+    combines in one VMEM residency) on TPU: ops/ntt_pallas.py for u16/u32;
+    None -> jnp graphs (whose NTT calls dispatch to the fused MXU kernels).
+
+    The 62-bit tier deliberately returns None where the MXU u64 kernel
+    applies: measured on-chip, the jnp graph with MXU transforms beats the
+    paired-u32 VPU chain kernels 28x on encrypt / 1.7x on decrypt at
+    n=8192 — the chain fusion saves HBM passes but pins the transform to
+    the VPU.  The VPU chain kernels still serve degrees > 65536.
+    NFL_TPU_NTT=jnp opts out, =pallas/mxu forces (interpret off-TPU)."""
     mode = os.environ.get("NFL_TPU_NTT", "auto")
     if mode == "jnp":
         return None
     if ring.limb == "u64":
-        from ..ops import ntt_pallas_u64 as mod
+        from ..ops import ntt_mxu_u64, ntt_pallas_u64
+        if ntt_mxu_u64.supports_fused(ring) and mode != "pallas":
+            return None              # jnp graph + MXU u64 transforms wins
+        mod = ntt_pallas_u64
     else:
         from ..ops import ntt_pallas as mod
     if not mod.supports(ring):
