@@ -60,15 +60,16 @@ def keygen(ring: Ring, stream: Salsa20Stream,
 
 def _fused_chain_module(ring):
     """Kernel module for whole encrypt/decrypt chains (transform + pointwise
-    combines in one VMEM residency) on TPU: ops/ntt_pallas.py for u16/u32;
-    None -> jnp graphs (whose NTT calls dispatch to the fused MXU kernels).
+    combines in one VMEM residency), or None for the jnp graphs whose NTT
+    calls dispatch to the fused MXU kernels (ops/ntt.py).
 
-    The 62-bit tier deliberately returns None where the MXU u64 kernel
-    applies: measured on-chip, the jnp graph with MXU transforms beats the
-    paired-u32 VPU chain kernels 28x on encrypt / 1.7x on decrypt at
-    n=8192 — the chain fusion saves HBM passes but pins the transform to
-    the VPU.  The VPU chain kernels still serve degrees > 65536.
-    NFL_TPU_NTT=jnp opts out, =pallas/mxu forces (interpret off-TPU)."""
+    Wherever an MXU transform kernel applies, None wins: measured on-chip,
+    the jnp graph with MXU transforms beats the VPU chain kernels 9.9x/2.3x
+    (encrypt/decrypt, u32 n=2^14 x 17ch) and 28x/1.7x (u64 n=8192) — chain
+    fusion saves HBM passes but pins the transform to the VPU, and the MXU
+    transform advantage dominates.  The VPU chain kernels serve the shapes
+    the MXU kernels can't (u64 degrees > 65536) and NFL_TPU_NTT=pallas
+    mode; =jnp opts out of kernels entirely."""
     mode = os.environ.get("NFL_TPU_NTT", "auto")
     if mode == "jnp":
         return None
@@ -78,7 +79,10 @@ def _fused_chain_module(ring):
             return None              # jnp graph + MXU u64 transforms wins
         mod = ntt_pallas_u64
     else:
-        from ..ops import ntt_pallas as mod
+        from ..ops import ntt_mxu, ntt_pallas
+        if ntt_mxu.supports_fused(ring) and mode != "pallas":
+            return None              # jnp graph + MXU transforms wins
+        mod = ntt_pallas
     if not mod.supports(ring):
         return None
     if mode in ("pallas", "mxu"):
