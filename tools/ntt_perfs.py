@@ -20,7 +20,8 @@ import jax.numpy as jnp  # noqa: E402
 
 import nfllib_tpu as nfl  # noqa: E402
 from nfllib_tpu.ops import ntt as ntt_jnp  # noqa: E402
-from nfllib_tpu.ops import ntt_mxu, ntt_pallas  # noqa: E402
+from nfllib_tpu.ops import ntt_mxu, ntt_mxu_u64, ntt_pallas  # noqa: E402
+from nfllib_tpu.ops import ntt_pallas_u64  # noqa: E402
 from nfllib_tpu.utils import static_log2  # noqa: E402
 
 
@@ -47,15 +48,16 @@ def main():
     ap.add_argument("--n", type=int, default=1 << 14)
     ap.add_argument("--m", type=int, default=17)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--limb", default="u32", choices=["u16", "u32", "u64"])
     args = ap.parse_args()
 
-    ring = nfl.Ring("u32", args.n, args.m)
+    ring = nfl.Ring(args.limb, args.n, args.m)
     ctx = ring.context()
     rng = np.random.default_rng(7)
-    x = np.empty((args.batch, args.m, args.n), dtype=np.uint32)
+    x = np.empty((args.batch, args.m, args.n), dtype=ring.dtype)
     for cm in range(args.m):
         x[:, cm] = rng.integers(0, int(ring.moduli[cm]),
-                                size=(args.batch, args.n), dtype=np.uint32)
+                                size=(args.batch, args.n))
     xd = jnp.asarray(x)
     units = args.batch * args.m
 
@@ -63,14 +65,23 @@ def main():
     os.environ["NFL_TPU_NTT"] = "jnp"   # pin the jnp path for its entry
     backends = {
         "jnp-stages": lambda v: ntt_jnp.ntt_pow_phi(v, ctx),
-        "pallas-butterfly": lambda v: ntt_pallas.ntt_fwd(v, ctx,
-                                                         interpret=False),
     }
-    if ntt_mxu.supports(ring):
-        backends["mxu-jnp"] = lambda v: ntt_mxu.ntt_pow_phi_mxu(v, ctx)
-    if ntt_mxu.supports_fused(ring):
-        backends["mxu-fused"] = lambda v: ntt_mxu.ntt_pow_phi_fused(
-            v, ctx, interpret=False)
+    if args.limb == "u64":
+        if ntt_pallas_u64.supports(ring):
+            backends["pallas-pair"] = lambda v: ntt_pallas_u64.ntt_fwd(
+                v, ctx, interpret=False)
+        if ntt_mxu_u64.supports_fused(ring):
+            backends["mxu-fused64"] = lambda v: \
+                ntt_mxu_u64.ntt_pow_phi_fused(v, ctx, interpret=False)
+    else:
+        if ntt_pallas.supports(ring):
+            backends["pallas-butterfly"] = lambda v: ntt_pallas.ntt_fwd(
+                v, ctx, interpret=False)
+        if ntt_mxu.supports(ring):
+            backends["mxu-jnp"] = lambda v: ntt_mxu.ntt_pow_phi_mxu(v, ctx)
+        if ntt_mxu.supports_fused(ring):
+            backends["mxu-fused"] = lambda v: ntt_mxu.ntt_pow_phi_fused(
+                v, ctx, interpret=False)
 
     # bit-exactness gate first
     base = np.asarray(backends["jnp-stages"](xd[:1]))
