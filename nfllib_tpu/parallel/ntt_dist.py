@@ -316,9 +316,12 @@ def _build_dist_inv(ring: Ring, mesh: Mesh, n1: int, deg_axis: str,
     d = mesh.shape[deg_axis]
     n2 = n // n1
     fctx = get_four_step_context(ring, n1, n2)
-    p3 = jnp.asarray(fctx.p_col)[..., None]
 
     def local(yb):
+        # jnp constants are created INSIDE the traced function: this builder
+        # is lru-cached, and materializing them at build time under an outer
+        # jit trace would cache tracers (UnexpectedTracerError later)
+        p3 = jnp.asarray(fctx.p_col)[..., None]
         i = jax.lax.axis_index(deg_axis)
         rows = jax.lax.dynamic_slice_in_dim(
             jnp.arange(n1), i * (n1 // d), n1 // d)

@@ -62,10 +62,14 @@ def _jitted_impl(ring: Ring, name: str, strict: bool):
     log2(n)-stage NTT) compile as a single XLA program instead of per-stage
     eager dispatch.  jit re-specializes per batch shape automatically.
     `strict` keys the cache on strictmod so the in-op asserts that modops
-    traces under the flag (debug.op_check) appear/disappear on toggle."""
+    traces under the flag (debug.op_check) appear/disappear on toggle.
+
+    Constants come from numpy inside the jitted functions: this builder is
+    lru-cached, and materializing jnp arrays at build time under an outer
+    jit trace would cache tracers (UnexpectedTracerError later)."""
     ctx = ring.context()
-    p = jnp.asarray(ctx.p_col)
-    pn = jnp.asarray(ctx.pn_col)
+    p = ctx.p_col
+    pn = ctx.pn_col
     fns = {
         "add": lambda x, y: modops.addmod(x, y, p),
         "sub": lambda x, y: modops.submod(x, y, p),
@@ -312,10 +316,11 @@ def _chain_program_impl(ring: Ring, key, strict: bool):
     leaf residue tensors positionally.  This is the single-pass-per-chain
     contract of the reference's expression templates (core.hpp:25-37): XLA
     fuses the whole elementwise tree into one kernel.  `strict` keys the
-    cache on strictmod (modops traces per-op asserts under the flag)."""
+    cache on strictmod (modops traces per-op asserts under the flag).
+    Constants stay numpy outside the jitted fn (see _jitted_impl)."""
     ctx = ring.context()
-    p = jnp.asarray(ctx.p_col)
-    pn = jnp.asarray(ctx.pn_col)
+    p = ctx.p_col
+    pn = ctx.pn_col
 
     def run(*leaves):
         memo = {}
@@ -497,12 +502,13 @@ def compute_shoup(x) -> Poly:
     return _as_poly(x).compute_shoup()
 
 
-# free functions (reference poly.hpp:314-332 nfl::add/sub/mul)
-def add(a, b) -> Poly:
+# free functions (reference poly.hpp:314-332 nfl::add/sub/mul).  Like the
+# reference's, add/sub return the deferred expression (an Expr here).
+def add(a, b) -> "Expr":
     return _as_poly(a) + b
 
 
-def sub(a, b) -> Poly:
+def sub(a, b) -> "Expr":
     return _as_poly(a) - b
 
 

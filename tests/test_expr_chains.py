@@ -99,6 +99,28 @@ def test_forcing_inside_jit_does_not_leak_tracer(ring, rng):
     np.testing.assert_array_equal(outside, want)
 
 
+def test_program_first_built_inside_jit_is_reusable(rng):
+    """The lru-cached op/chain builders must not materialize their constants
+    under an outer jit trace (they would cache tracers; same bug class as
+    the u64 chain builder leak).  Build every cached program inside a jit
+    first, then reuse it eagerly."""
+    import jax
+
+    fresh = nfl.ring_from_modulus("u32", 128, 60)   # un-cached ring
+    a = nfl.Poly(rand_residues(fresh, rng), fresh)
+    b = nfl.Poly(rand_residues(fresh, rng), fresh)
+
+    @jax.jit
+    def f(x, y):
+        tmp = nfl.Poly(x, fresh)
+        other = nfl.Poly(y, fresh)
+        return (tmp * other + tmp).poly().ntt_pow_phi().data
+
+    inside = np.asarray(f(a.data, b.data))
+    outside = np.asarray((a * b + a).poly().ntt_pow_phi().data)
+    np.testing.assert_array_equal(inside, outside)
+
+
 def test_ring_mismatch_raises(ring, rng):
     other = nfl.ring_from_modulus("u32", 512, 60)
     a = nfl.Poly(rand_residues(ring, rng), ring)

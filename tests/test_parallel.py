@@ -147,3 +147,30 @@ def test_mesh_api_shard_poly(rng):
     q = (ps + ps).ntt_pow_phi()
     want = (p + p).ntt_pow_phi()
     assert q == want
+
+
+def test_comm_volume_one_all_to_all_and_balanced_shards(rng):
+    """The distributed transform's ONLY communication is one all-to-all
+    (asserted on the compiled HLO), and per-device output shards are
+    balanced (SURVEY.md §5 comm-backend / work-balance contract)."""
+    ring = make_ring(1024, 60, "u32")
+    mesh = _mesh((4,), ("deg",))
+    x = jnp.asarray(rand_residues(ring, rng))
+    with mesh:
+        fwd = lambda v: ntt_dist.distributed_ntt_pow_phi(v, ring, mesh)
+        hlo = jax.jit(fwd).lower(x).compile().as_text()
+        n_a2a = hlo.count(" all-to-all(") + hlo.count(" all-to-all-start(")
+        assert n_a2a == 1, f"expected exactly one all-to-all, got {n_a2a}"
+        for coll in ("all-reduce(", "all-gather(", "collective-permute("):
+            assert coll not in hlo, f"unexpected collective {coll}"
+        y = fwd(x)
+        shapes = {s.data.shape for s in y.addressable_shards}
+        assert len(shapes) == 1, f"unbalanced shards: {sorted(shapes)}"
+        # inverse likewise
+        inv = lambda v: ntt_dist.distributed_invntt_pow_invphi(v, ring, mesh)
+        hlo_i = jax.jit(inv).lower(y).compile().as_text()
+        n_a2a_i = (hlo_i.count(" all-to-all(")
+                   + hlo_i.count(" all-to-all-start("))
+        assert n_a2a_i == 1
+        back = inv(y)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
