@@ -69,12 +69,24 @@ def main():
         _ = np.asarray(out[0, 0, 0:1])
         return time.perf_counter() - t0
 
-    # The tunnel/chip load varies in minutes-long regimes (observed 1.5-3x
-    # swings); interference only ever ADDS time, so the chip-capability
-    # estimator is the MINIMUM chain-differenced time.  Within each window
-    # the 1-chain and K-chain calls are interleaved so both mins sample the
-    # same regime; windows are SPACED ~25 s apart so the run spans several
-    # regime shifts, and the min across windows captures the idle-chip rate.
+    # Interference only ever ADDS time, so the chip-capability estimator is
+    # the MINIMUM chain-differenced time; within each window the 1-chain and
+    # K-chain calls are interleaved so both mins sample the same conditions,
+    # and windows are spaced so the run spans transient load.  The chip also
+    # THROTTLES under sustained MXU+VPU load: bursts (chain<=17) run
+    # ~15-25% faster than the chain>=65 steady state (measured: 1.09-1.22M
+    # vs 0.93M NTT/s), which is what produced round 1's apparent "3x regime
+    # swings".  The recorded value is the SUSTAINED rate — the honest
+    # number for a production workload; the burst rate prints to stderr.
+    # burst sample FIRST (before the sustained windows heat-soak the chip)
+    burst_chain = 17
+    tb = t1b = float("inf")
+    for _ in range(6):
+        t1b = min(t1b, one(1))
+        tb = min(tb, one(burst_chain))
+        time.sleep(2)
+    burst = (tb - t1b) / (burst_chain - 1)
+
     diffs = []
     for w in range(8):
         t1 = tk = float("inf")
@@ -95,6 +107,9 @@ def main():
     kind = jax.devices()[0].device_kind
     print(f"[bench] {ntts} channel-NTTs (n={n}, m={m}): {per_app*1e6:.1f} us "
           f"per application on {kind}", file=sys.stderr)
+    print(f"[bench] burst rate (chain={burst_chain}, pre-throttle): "
+          f"{ntts/burst/1e6:.3f} M NTT/s vs sustained {rate/1e6:.3f} M",
+          file=sys.stderr)
     print("[bench] note: the >=1M/s baseline target assumes TPU v5p "
           "(2765 GB/s HBM); a v5e chip (819 GB/s) scales that to ~300-400k/s "
           "at the same efficiency", file=sys.stderr)
