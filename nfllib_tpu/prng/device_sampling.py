@@ -121,14 +121,15 @@ def device_gaussian(ring: Ring, key: bytes, nonce: int, mode: gaussian):
     amp = int(mode.amplifier)
     wp = fg.word_precision
     n = ring.degree
-    if fg.in_bits != 8:
-        raise NotImplementedError("device gaussian supports in_bits=8")
-    raw = _stream_bytes(key, nonce, n * wp).reshape(n, wp)
+    if fg.in_bits == 8:
+        raw = _stream_bytes(key, nonce, n * wp).reshape(n, wp)
+    else:  # in_bits == 16: little-endian 16-bit stream limbs per word
+        raw = _stream_limbs(key, nonce, n * wp, 2).reshape(n, wp)
 
-    bw = np.asarray(fg.barrier_words, dtype=np.uint8)      # [nb, wp]
+    bw = np.asarray(fg.barrier_words)                      # [nb, wp]
     nb = bw.shape[0]
-    r16 = raw.astype(jnp.int16)                            # [n, wp]
-    bw_dev = jnp.asarray(bw.astype(np.int16))              # [nb, wp]
+    r16 = raw.astype(jnp.int32)                            # [n, wp]
+    bw_dev = jnp.asarray(bw.astype(np.int32))              # [nb, wp]
 
     # invariants: barriers[:lo] <= r, barriers[hi:] > r; count = final lo
     lo = jnp.zeros((n,), dtype=jnp.int32)

@@ -87,6 +87,23 @@ def test_device_gaussian_large_sigma_matches_mirror(sigma):
     np.testing.assert_array_equal(got[0].astype(np.int64), want)
 
 
+def test_device_gaussian_in_bits_16_matches_mirror():
+    """The 16-bit word flavor (reference FastGaussianNoise in_bits=16)
+    consumes little-endian 16-bit stream limbs and must equal the exact
+    host mirror on the same words."""
+    fg16 = FastGaussianNoise(4.0, 128, 1 << 10, in_bits=16)
+    ring = make_ring(256, 60, "u32")
+    n, wp = ring.degree, fg16.word_precision
+    raw = np.frombuffer(Salsa20Stream(KEY, nonce=3).randombytes(n * wp * 2),
+                        dtype="<u2").reshape(n, wp)
+    want_noise = fg16.get_noise_fixed(raw)
+    got = np.asarray(dev.device_gaussian(ring, KEY, 3,
+                                         sampling.gaussian(fg16)))
+    p = int(ring.moduli[0])
+    want = np.where(want_noise < 0, p + want_noise, want_noise)
+    np.testing.assert_array_equal(got[0].astype(np.int64), want)
+
+
 def test_device_gaussian_moments(fg):
     ring = make_ring(8192, 60, "u32")
     got = np.asarray(dev.device_gaussian(ring, KEY, 11,
