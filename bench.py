@@ -95,7 +95,8 @@ def main():
             tk = min(tk, one(chain))
         diffs.append((tk - t1) / (chain - 1))
         if w < 7:
-            time.sleep(25)
+            time.sleep(10)   # span transient load without risking a driver
+                             # timeout (~5 min total run)
     diffs.sort()
     per_app = diffs[0]
     print(f"[bench] window spread: best {diffs[0]*1e6:.1f} us, median "
