@@ -45,6 +45,7 @@ FUSED_CONFIGS = [
     (4096, 60, "u32"),
     (8192, 60, "u32"),
     (128, 14, "u16"),          # reference config point 2
+    (256, 28, "u16"),          # two-channel u16
     (512, 14, "u16"),          # u16 max degree (contraction 32)
 ]
 

@@ -9,7 +9,8 @@ from nfllib_tpu.ops import ntt_mxu_u64
 
 from conftest import rand_residues
 
-CONFIGS = [(64, 124, "u64"), (512, 124, "u64"), (8192, 124, "u64")]
+CONFIGS = [(64, 124, "u64"), (256, 62, "u64"),
+           (512, 124, "u64"), (8192, 124, "u64")]
 SLOW = [(32768, 124, "u64")]
 
 
