@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import inspect
 import os
 
 import jax
@@ -202,9 +203,14 @@ def _gaussian_key(g_prng: FastGaussianNoise) -> tuple:
     """Value key for jit caches: a FastGaussianNoise's behavior is fully
     determined by its constructor parameters (gaussian.py:64-88), so caching
     on these is stable — unlike id(), which a GC'd-and-reallocated object
-    could silently alias."""
-    k = (g_prng.sigma, g_prng.security, g_prng.samples, g_prng.center,
-         g_prng.in_bits, g_prng.lu_depth)
+    could silently alias.  The key is derived from the constructor signature
+    itself, so adding a parameter to FastGaussianNoise can never silently
+    alias distinct samplers here ('verbose' is behavior-neutral output
+    chatter and is excluded on purpose)."""
+    params = [name for name in
+              inspect.signature(FastGaussianNoise.__init__).parameters
+              if name not in ("self", "verbose")]
+    k = tuple(getattr(g_prng, name) for name in params)
     _GPRNG_BY_KEY.setdefault(k, g_prng)
     return k
 

@@ -18,7 +18,9 @@ Conventions:
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .. import debug
@@ -192,15 +194,43 @@ def compute_shoup(y, p):
         w = _WIDER[dt]
         yr = (y.astype(w) % p.astype(w))
         return ((yr << repr_bits(dt)) // p.astype(w)).astype(dt)
-    # uint64: restoring division computing floor((y mod p) << 64 / p).
-    y = y % p
-    def step(_, qr):
-        q, r = qr
-        r2 = r << 1                       # r < p < 2^62 so no overflow
-        ge = r2 >= p
-        return (q << 1) | ge.astype(_U64), r2 - jnp.where(ge, p, _U64(0))
-    q, _ = lax.fori_loop(0, 64, step, (jnp.zeros_like(y), y))
-    return q
+    # uint64: Barrett with F = floor(2^125 / p), which fits u64 for the
+    # 62-bit tier (p > 2^61).  F comes from exact host integer math over the
+    # constant moduli (every caller closes over numpy p tables, so p is a
+    # trace-time constant); the device path is two emulated 64x64 mulhi's
+    # plus bounded fixups — O(1) per element vs the O(64) restoring
+    # division it replaces.
+    if isinstance(p, jax.core.Tracer):
+        # traced p (no host value): restoring division fallback
+        y = y % p
+        def step(_, qr):
+            q, r = qr
+            r2 = r << 1                   # r < p < 2^62 so no overflow
+            ge = r2 >= p
+            return (q << 1) | ge.astype(_U64), r2 - jnp.where(ge, p, _U64(0))
+        q, _ = lax.fori_loop(0, 64, step, (jnp.zeros_like(y), y))
+        return q
+    p_host = np.asarray(p, dtype=np.uint64)
+    assert int(p_host.min()) > (1 << 61), "u64 Barrett needs 62-bit moduli"
+    F = jnp.asarray(np.array(
+        [(1 << 125) // int(v) for v in p_host.reshape(-1)],
+        dtype=np.uint64).reshape(p_host.shape))
+    # reduce y mod p: qy = floor(y*F/2^125) >= floor(y/p) - 2, so yr < 3p
+    qy = _mulhi_u64(y, F) >> _U64(61)
+    yr = y - qy * p
+    yr = yr - jnp.where(yr >= p, p, _U64(0))
+    yr = yr - jnp.where(yr >= p, p, _U64(0))
+    # q = floor(yr * 2^64 / p): qhat = floor(yr*F/2^61) in [q-3, q], so
+    # r = yr*2^64 - qhat*p < 4p < 2^64 — exact in wrapping u64 as -qhat*p
+    hi = _mulhi_u64(yr, F)
+    lo = yr * F
+    qhat = (hi << _U64(3)) | (lo >> _U64(61))
+    r = _U64(0) - qhat * p
+    for _ in range(3):
+        ge = r >= p
+        r = r - jnp.where(ge, p, _U64(0))
+        qhat = qhat + ge.astype(_U64)
+    return qhat
 
 
 def mulmod_shoup(x, y, yprime, p):

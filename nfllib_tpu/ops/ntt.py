@@ -25,9 +25,25 @@ import os
 import jax
 import jax.numpy as jnp
 
+from .. import debug
 from ..ring import Ring, RingContext
 from ..utils import static_log2
 from . import modops
+
+
+def _strict_bracket(fn, x, ctx):
+    """Strict-mod boundary checks around a Pallas/MXU kernel call: the
+    reference's CHECK_STRICTMOD asserts range contracts inside its SIMD
+    paths (sse.hpp:57-67); the kernels compile their own internal stage
+    checks (poisoning the output block on violation), and this wrapper
+    asserts the canonical [0, p) contract on the way in and out — so a
+    poisoned block, or a caller handing lazy values to a strict interface,
+    raises just like the jnp path's per-op asserts."""
+    p = jnp.asarray(ctx.p_col)
+    debug.check_residues(x, p)
+    out = fn(x)
+    debug.check_residues(out, p)
+    return out
 
 
 def _pallas_backend(ring):
@@ -164,9 +180,15 @@ def ntt_pow_phi(x, ctx: RingContext):
     (reference core.hpp:594-600)."""
     fused = _fused_mxu_module(ctx.ring)
     if fused is not None:
+        if debug.strictmod_enabled():
+            return _strict_bracket(
+                lambda v: fused.ntt_pow_phi_fused(v, ctx), jnp.asarray(x), ctx)
         return fused.ntt_pow_phi_fused(jnp.asarray(x), ctx)
     mod = _pallas_backend(ctx.ring)
     if mod is not None:
+        if debug.strictmod_enabled():
+            return _strict_bracket(
+                lambda v: mod.ntt_fwd(v, ctx, twist=True), jnp.asarray(x), ctx)
         return mod.ntt_fwd(jnp.asarray(x), ctx, twist=True)
     phis = jnp.asarray(ctx.phis)
     sphis = jnp.asarray(ctx.shoupphis)
@@ -180,9 +202,17 @@ def invntt_pow_invphi(x, ctx: RingContext):
     (reference core.hpp:608-614)."""
     fused = _fused_mxu_module(ctx.ring)
     if fused is not None:
+        if debug.strictmod_enabled():
+            return _strict_bracket(
+                lambda v: fused.invntt_pow_invphi_fused(v, ctx),
+                jnp.asarray(x), ctx)
         return fused.invntt_pow_invphi_fused(jnp.asarray(x), ctx)
     mod = _pallas_backend(ctx.ring)
     if mod is not None:
+        if debug.strictmod_enabled():
+            return _strict_bracket(
+                lambda v: mod.intt_bwd(v, ctx, untwist=True),
+                jnp.asarray(x), ctx)
         return mod.intt_bwd(jnp.asarray(x), ctx, untwist=True)
     y = inv_ntt(jnp.asarray(x), ctx)
     itab = jnp.asarray(ctx.invpoly_times_invphis)

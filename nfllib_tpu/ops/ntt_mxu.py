@@ -57,8 +57,16 @@ def supports(ring) -> bool:
 def supports_fused(ring) -> bool:
     """The fused int8 kernel covers the u16 and u32 tiers at every degree
     >= 8 (rectangular n1 x n2 decompositions; digit widths chosen so every
-    packed limb-group sum stays under 2^32 — see _fused_geometry)."""
-    return ring.limb in ("u16", "u32") and ring.degree >= 8
+    packed limb-group sum stays under 2^32 — see _fused_geometry).
+
+    The explicit degree cap enforces the exactness bound |G_a| <= 4*128^2*k
+    < 2^25 (k = max contraction = n2 <= 512, i.e. degree <= 2^18): the
+    current parameter tables stop at kMaxPolyDegree = 32768 for u32, but a
+    future table extension past 2^18 must fall back, not silently corrupt."""
+    if ring.limb not in ("u16", "u32") or ring.degree < 8:
+        return False
+    n2 = _fused_geometry(ring.degree, ring.limb)[1]
+    return n2 <= 512
 
 
 def _fused_geometry(n, limb="u32"):
@@ -447,21 +455,20 @@ def _recombine_groups(groups, p, sh, dbits, ndig, corr=None, strict=True):
               + (groups[1].astype(jnp.uint32) << dbits))
         t = u0 - modops._mulhi_u32(u0, sh(0)) * p       # < 2p
         return t - jnp.where(t >= p, p, jnp.zeros_like(t))
-    # balanced u32: pack the four biased groups (G'_a = G_a + 2^25 < 2^26)
-    # into one 50-bit v = sum G'_a 2^(8a) held as (hi, lo), then ONE
-    # Barrett step with m = floor(2^60/p): q = hi32((v >> 28) * m),
-    # r = v - q*p < 4p (exact in wrapping 32-bit: see modops Barrett
-    # derivation, valid for v < 2^60).  The bias over-count lives in corr.
+    # balanced u32: pack the four biased groups (G'_a = G_a + 2^25 <= 2^26)
+    # into v = sum G'_a 2^(8a) < 2^51, then ONE Barrett step with
+    # m = floor(2^60/p).  Carry-free formulation: r = v - q*p < 4p < 2^32
+    # only needs v mod 2^32 (lo computed with natural u32 wrap, no carry
+    # tracking), and the Barrett input a = floor(v/2^28) tolerates slack —
+    # a' = (G'_1>>20) + (G'_2>>12) + (G'_3>>4) drops the G'_0/2^28 < 1 term
+    # and loses < 1 per floor, so a' in [floor(v/2^28) - 3, floor(v/2^28)];
+    # q = hi32(a'*m) then satisfies q > v/p - v/2^60 - 2^30/p - 1 > v/p - 4
+    # and q <= a'*m/2^32 <= v/p, hence 0 <= r = v - q*p < 4p, exact in
+    # wrapping 32-bit.  The bias over-count lives in corr.
     bias = jnp.int32(_BAL_BIAS)
     g = [(groups[a] + bias).astype(jnp.uint32) for a in range(4)]
-    lo1 = g[0] + (g[1] << 8)
-    c1 = (lo1 < g[0]).astype(jnp.uint32)
-    lo2 = lo1 + (g[2] << 16)
-    c2 = (lo2 < lo1).astype(jnp.uint32)
-    lo = lo2 + (g[3] << 24)
-    c3 = (lo < lo2).astype(jnp.uint32)
-    hi = (g[1] >> 24) + (g[2] >> 16) + (g[3] >> 8) + c1 + c2 + c3
-    a28 = (hi << 4) | (lo >> 28)
+    lo = g[0] + (g[1] << 8) + (g[2] << 16) + (g[3] << 24)   # v mod 2^32
+    a28 = (g[1] >> 20) + (g[2] >> 12) + (g[3] >> 4)
     q = modops._mulhi_u32(a28, sh(0))
     t = lo - q * p                                      # < 4p
     t = t - jnp.where(t >= two_p, two_p, jnp.zeros_like(t))
@@ -476,30 +483,42 @@ def _recombine_groups(groups, p, sh, dbits, ndig, corr=None, strict=True):
     return t - jnp.where(t >= p, p, jnp.zeros_like(t))
 
 
-def _fused_kernel(dbits, ndig, mulhi, bb, n1, n2,
+def _fused_kernel(dbits, ndig, mulhi, bb, n1, n2, strict_checks,
                   x_ref, w1_ref, w2_ref, tw_ref, tws_ref, c1_ref, c2_ref,
                   sh_ref, p_ref, o_ref):
     p = p_ref[0, 0, 0]
     sh = lambda j: sh_ref[0, 0, j]
     lazy = ndig == 4          # u32: intermediates may stay in [0, 2p)
     x = x_ref[...].reshape(bb, n1, n2).astype(jnp.uint32)   # [bb, n1, n2] < p
+    bad = jnp.bool_(False)    # strict-mod: any stage contract violation
 
     # column DFT (phi twist pre-folded into W1's columns)
     x = _left_matmul_batched(x, w1_ref[0], p, sh, dbits, ndig, bb, n1, n2,
                              corr=c1_ref[0], strict=not lazy)
+    if strict_checks:
+        bad = bad | jnp.any(x >= (p + p if lazy else p))
     # twiddle * phi^i2; tables broadcast over the batch block
     q = mulhi(x, tws_ref[0])
     x = x * tw_ref[0] - q * p
     if not lazy:
         x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
+    if strict_checks:
+        bad = bad | jnp.any(x >= (p + p if lazy else p))
     # row DFT (strict: kernel outputs are canonical)
     x = _right_matmul_batched(x, w2_ref[0], p, sh, dbits, ndig, bb, n1, n2,
                               corr=c2_ref[0])
+    if strict_checks:
+        # in-kernel strict-mod (reference sse.hpp:57-67 SIMD asserts):
+        # a violated stage contract poisons the whole output block with an
+        # out-of-range sentinel, which the dispatch-level boundary check
+        # (ops/ntt.py _strict_bracket) turns into an AssertionError.
+        bad = bad | jnp.any(x >= p)
+        x = jnp.where(bad, jnp.uint32(0xFFFFFFFF), x)
     o_ref[...] = x.reshape(bb, 1, n1, n2).astype(o_ref.dtype)
 
 
 @functools.lru_cache(maxsize=None)
-def _build_fused(ring, interpret):
+def _build_fused(ring, interpret, strict_checks=False):
     ctx = ring.context()
     m = ring.nmoduli
     n1, n2, w1l, w2l, tw, tws, corr1, corr2, shoup1, p_vec = \
@@ -514,7 +533,8 @@ def _build_fused(ring, interpret):
         B = xb.shape[0]
         bb = _batch_block(B, ring.degree)
         return pl.pallas_call(
-            functools.partial(_fused_kernel, dbits, ndig, mulhi, bb, n1, n2),
+            functools.partial(_fused_kernel, dbits, ndig, mulhi, bb, n1, n2,
+                              strict_checks),
             grid=(m, B // bb),    # batch innermost: tables stay resident
             in_specs=[
                 pl.BlockSpec((bb, 1, n1, n2), lambda c, b: (b, c, _i0, _i0),
@@ -562,7 +582,8 @@ def ntt_pow_phi_fused(x, ctx, *, interpret=None):
     x = jnp.asarray(x)
     batch = x.shape[:-2]
     xb = x.reshape((-1, m, n1, n2))
-    call = _build_fused(ring, bool(interpret))
+    from .. import debug
+    call = _build_fused(ring, bool(interpret), debug.strictmod_enabled())
     out = call(xb)
     return out.reshape(batch + (m, n))
 
@@ -627,31 +648,39 @@ def _fused_inv_tables(ring):
     return n1, n2, w1l, w2l, tw, tws, corr1, corr2, shoup1, p_vec
 
 
-def _fused_inv_kernel(dbits, ndig, mulhi, bb, n1, n2,
+def _fused_inv_kernel(dbits, ndig, mulhi, bb, n1, n2, strict_checks,
                       x_ref, w1_ref, w2_ref, tw_ref,
                       tws_ref, c1_ref, c2_ref, sh_ref, p_ref, o_ref):
     p = p_ref[0, 0, 0]
     sh = lambda j: sh_ref[0, 0, j]
     lazy = ndig == 4          # u32: intermediates may stay in [0, 2p)
     x = x_ref[...].reshape(bb, n1, n2).astype(jnp.uint32)   # < p, Harvey
+    bad = jnp.bool_(False)
 
     # row inverse DFT: right-multiply by W2inv
     x = _right_matmul_batched(x, w2_ref[0], p, sh, dbits, ndig, bb, n1, n2,
                               corr=c2_ref[0], strict=not lazy)
+    if strict_checks:
+        bad = bad | jnp.any(x >= (p + p if lazy else p))
     # inverse twiddle * inv_deg * phi^-i2
     q = mulhi(x, tws_ref[0])
     x = x * tw_ref[0] - q * p
     if not lazy:
         x = x - jnp.where(x >= p, p, jnp.zeros_like(x))
+    if strict_checks:
+        bad = bad | jnp.any(x >= (p + p if lazy else p))
     # column inverse DFT by W1inv (phi^-(n2 i1) untwist pre-folded in rows;
     # strict: kernel outputs are canonical)
     x = _left_matmul_batched(x, w1_ref[0], p, sh, dbits, ndig, bb, n1, n2,
                              corr=c1_ref[0])
+    if strict_checks:
+        bad = bad | jnp.any(x >= p)
+        x = jnp.where(bad, jnp.uint32(0xFFFFFFFF), x)
     o_ref[...] = x.reshape(bb, 1, n1, n2).astype(o_ref.dtype)
 
 
 @functools.lru_cache(maxsize=None)
-def _build_fused_inv(ring, interpret):
+def _build_fused_inv(ring, interpret, strict_checks=False):
     ctx = ring.context()
     m = ring.nmoduli
     n1, n2, w1l, w2l, tw, tws, corr1, corr2, shoup1, p_vec = \
@@ -665,7 +694,7 @@ def _build_fused_inv(ring, interpret):
         bb = _batch_block(B, ring.degree)
         return pl.pallas_call(
             functools.partial(_fused_inv_kernel, dbits, ndig, mulhi,
-                              bb, n1, n2),
+                              bb, n1, n2, strict_checks),
             grid=(m, B // bb),
             in_specs=[
                 pl.BlockSpec((bb, 1, n1, n2), lambda c, b: (b, c, _i0, _i0),
@@ -713,6 +742,7 @@ def invntt_pow_invphi_fused(x, ctx, *, interpret=None):
     x = jnp.asarray(x)
     batch = x.shape[:-2]
     xb = x.reshape((-1, m, n1, n2))
-    call = _build_fused_inv(ring, bool(interpret))
+    from .. import debug
+    call = _build_fused_inv(ring, bool(interpret), debug.strictmod_enabled())
     out = call(xb)
     return out.reshape(batch + (m, n))

@@ -173,29 +173,27 @@ def _digitize64(xp):
 def _recombine64(groups, p, mbar, corr, strict):
     """sum_a 2^(8a) (G_a + BIAS) mod p via one Barrett step.
 
-    groups: 8 int32 arrays; p, mbar, corr: (hi, lo) pairs.  Packs the
-    biased groups into three u32 words (v < 2^83), q = hi64((v>>60)*mbar)
-    < 2^22, r = v - q*p < 4p < 2^64 exact in wrapping pair arithmetic."""
+    groups: 8 int32 arrays; p, mbar, corr: (hi, lo) pairs.  Carry-free
+    formulation: r = v - q*p < 4p < 2^64 only needs v mod 2^64 (word 0's
+    carries feed word 1; word 1's own overflow is irrelevant), and the
+    Barrett input a = floor(v/2^60) tolerates slack — a' sums the floored
+    per-group shifts of G'_4..G'_7 (the dropped G'_0..G'_3 terms total < 1
+    and each of the 4 floors loses < 1, so floor(v/2^60) - a' <= 4), giving
+    q = hi64(a'*mbar) > v/p - v/2^124 - 4*2^60/p - 1 > v/p - 4 for the
+    62-bit tier (p > 2^61), hence 0 <= r < 4p, exact in wrapping pairs."""
     bias = jnp.int32(_BIAS)
     g = [(groups[a] + bias).astype(jnp.uint32) for a in range(_NDIG)]
-    # word 0: g0..g3 shifted into bits 0..31
+    # word 0: g0..g3 shifted into bits 0..31 (carries feed word 1)
     w0 = g[0] + (g[1] << 8)
     c = (w0 < g[0]).astype(jnp.uint32)
     w0b = w0 + (g[2] << 16)
     c = c + (w0b < w0).astype(jnp.uint32)
     w0c = w0b + (g[3] << 24)
     c = c + (w0c < w0b).astype(jnp.uint32)
-    # word 1: spill of g1..g3, carry, g4..g7 shifted
-    t1 = (g[1] >> 24) + (g[2] >> 16) + (g[3] >> 8) + c + g[4]   # < 2^28
-    w1 = t1 + (g[5] << 8)
-    c2 = (w1 < t1).astype(jnp.uint32)
-    w1b = w1 + (g[6] << 16)
-    c2 = c2 + (w1b < w1).astype(jnp.uint32)
-    w1c = w1b + (g[7] << 24)
-    c2 = c2 + (w1c < w1b).astype(jnp.uint32)
-    # word 2: spill of g5..g7 + carry (v < 2^83 so w2 < 2^19)
-    w2 = (g[5] >> 24) + (g[6] >> 16) + (g[7] >> 8) + c2
-    a60 = (w2 << 4) | (w1c >> 28)                 # v >> 60, < 2^23
+    # word 1 mod 2^32: spill of g1..g3 + carries + g4..g7 shifted (wrap ok)
+    w1c = ((g[1] >> 24) + (g[2] >> 16) + (g[3] >> 8) + c + g[4]
+           + (g[5] << 8) + (g[6] << 16) + (g[7] << 24))
+    a60 = (g[4] >> 28) + (g[5] >> 20) + (g[6] >> 12) + (g[7] >> 4)
     z = jnp.zeros_like(a60)
     q = p_mulhi((z, a60), mbar)[1]                # hi64 of a60*m, < 2^22
     r = p_sub((w1c, w0c), p_mullo((z, q), p))     # v - q*p < 4p < 2^64
@@ -240,7 +238,7 @@ def _right_matmul64(xp, w_ref, p, mbar, corr, bb, n1, n2, strict):
     return _recombine64(groups, p, mbar, corr, strict)
 
 
-def _kernel64(inverse, bb, n1, n2,
+def _kernel64(inverse, strict_checks, bb, n1, n2,
               xh_ref, xl_ref, w1_ref, w2_ref, twh_ref, twl_ref,
               tsh_ref, tsl_ref, c1h_ref, c1l_ref, c2h_ref, c2l_ref,
               mh_ref, ml_ref, ph_ref, pl_ref, oh_ref, ol_ref):
@@ -258,9 +256,21 @@ def _kernel64(inverse, bb, n1, n2,
     wfirst = w1_ref[0] if not inverse else w2_ref[0]
     wsecond = w2_ref[0] if not inverse else w1_ref[0]
 
+    two_p = p_add(p, p)
+    bad = jnp.bool_(False)
     x = first(x, wfirst, p, mbar, cfirst, bb, n1, n2, strict=False)
+    if strict_checks:
+        bad = bad | jnp.any(p_ge(x, two_p))       # lazy contract: < 2p
     x = p_shoup_lazy(x, tw, tws, p)               # twiddle, lazy < 2p < 2^63
+    if strict_checks:
+        bad = bad | jnp.any(p_ge(x, two_p))
     x = second(x, wsecond, p, mbar, csecond, bb, n1, n2, strict=True)
+    if strict_checks:
+        # in-kernel strict-mod: poison the block on contract violation; the
+        # dispatch-level boundary check (ops/ntt.py _strict_bracket) raises.
+        bad = bad | jnp.any(p_ge(x, p))
+        ones = jnp.uint32(0xFFFFFFFF)
+        x = (jnp.where(bad, ones, x[0]), jnp.where(bad, ones, x[1]))
     oh_ref[...] = x[0].reshape(bb, 1, n1, n2)
     ol_ref[...] = x[1].reshape(bb, 1, n1, n2)
 
@@ -276,7 +286,7 @@ def _batch_block(B, n):
 
 
 @functools.lru_cache(maxsize=None)
-def _build64(ring, inverse, interpret):
+def _build64(ring, inverse, interpret, strict_checks=False):
     m = ring.nmoduli
     (n1, n2, w1l, w2l, (twh, twl), (tsh, tsl), (c1h, c1l), (c2h, c2l),
      (mh, ml), (ph, plo)) = _tables64(ring, inverse)
@@ -297,7 +307,7 @@ def _build64(ring, inverse, interpret):
 
         out_sd = jax.ShapeDtypeStruct(xbh.shape, jnp.uint32)
         return pl.pallas_call(
-            functools.partial(_kernel64, inverse, bb, n1, n2),
+            functools.partial(_kernel64, inverse, strict_checks, bb, n1, n2),
             grid=(m, B // bb),
             in_specs=[
                 spec_x(bb), spec_x(bb),
@@ -339,7 +349,9 @@ def _run64(x, ctx, inverse, interpret):
     xb = x.reshape((-1, m, n1, n2))
     xbh = (xb >> jnp.uint64(32)).astype(jnp.uint32)
     xbl = xb.astype(jnp.uint32)
-    call = _build64(ring, bool(inverse), bool(interpret))
+    from .. import debug
+    call = _build64(ring, bool(inverse), bool(interpret),
+                    debug.strictmod_enabled())
     oh, ol = call(xbh, xbl)
     out = (oh.astype(jnp.uint64) << jnp.uint64(32)) | ol.astype(jnp.uint64)
     return out.reshape(batch + (m, n))

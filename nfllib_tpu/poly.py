@@ -332,7 +332,17 @@ def _chain_program_impl(ring: Ring, key, strict: bool):
                 return memo[k]
             op = k[0]
             if op == "add":
-                r = modops.addmod(ev(k[1]), ev(k[2]), p)
+                # fused-FMA rewrite: add(mul(a,b), c) / add(c, mul(a,b))
+                # lowers to ONE muladd (reference opt/ops.hpp:7-48).  Both
+                # paths canonicalize the product before the add, so the
+                # rewrite is bit-identical to addmod(mulmod(a,b), c).
+                lhs, rhs = k[1], k[2]
+                if isinstance(lhs, tuple) and lhs[0] == "mul":
+                    r = modops.muladd(ev(rhs), ev(lhs[1]), ev(lhs[2]), p, pn)
+                elif isinstance(rhs, tuple) and rhs[0] == "mul":
+                    r = modops.muladd(ev(lhs), ev(rhs[1]), ev(rhs[2]), p, pn)
+                else:
+                    r = modops.addmod(ev(lhs), ev(rhs), p)
             elif op == "sub":
                 r = modops.submod(ev(k[1]), ev(k[2]), p)
             elif op == "mul":
@@ -362,9 +372,20 @@ class Expr:
     the reference's assignment loop (core.hpp:25-37).
     """
 
-    __slots__ = ("op", "args", "ring", "_val")
+    __slots__ = ("op", "args", "ring", "_val", "depth")
+
+    # Trees deeper than this force their deep operands eagerly: accumulation
+    # loops (`acc = acc + x` repeated) would otherwise mint a distinct,
+    # ever-deeper tree shape per iteration — a fresh XLA compile each force,
+    # a permanently cached program each shape, and eventually a Python
+    # recursion-limit blowout in _flatten.
+    _MAX_DEPTH = 32
 
     def __init__(self, op: str, args):
+        args = tuple(
+            a.poly() if isinstance(a, Expr) and a.depth >= self._MAX_DEPTH
+            else a
+            for a in args)
         ring = args[0].ring
         for a in args[1:]:
             if a.ring != ring:
@@ -381,6 +402,8 @@ class Expr:
         object.__setattr__(self, "args", tuple(args))
         object.__setattr__(self, "ring", ring)
         object.__setattr__(self, "_val", None)
+        object.__setattr__(self, "depth", 1 + max(
+            (a.depth for a in args if isinstance(a, Expr)), default=0))
 
     # --- evaluation ---------------------------------------------------------
     def _flatten(self, leaves, index_by_id):
@@ -465,6 +488,10 @@ class Expr:
 
     def __getattr__(self, name):
         # forward the full Poly surface (ntt_pow_phi, mulmod, serialization…)
+        # — but never dunders: protocol probes (copy/pickle/inspect) would
+        # otherwise silently force evaluation and compile the whole chain.
+        if name.startswith("__") and name.endswith("__"):
+            raise AttributeError(name)
         return getattr(self.poly(), name)
 
 

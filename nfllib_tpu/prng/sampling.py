@@ -181,37 +181,3 @@ def sample(ring: Ring, mode, stream: Salsa20Stream) -> np.ndarray:
         return sample_gaussian(ring, stream, mode)
     raise TypeError(f"unknown sampler mode {mode!r}")
 
-
-# ---------------------------------------------------------------------------
-# device samplers (jnp, jit-able; same values as the host tier)
-# ---------------------------------------------------------------------------
-
-def device_uniform(ring: Ring, key: bytes, nonce: int):
-    """On-device uniform sampling from Salsa20 keystream words.
-
-    Produces exactly the same residues as sample_uniform for the same
-    (key, nonce): the keystream blocks are generated on device and
-    reinterpreted with the same little-endian word layout.
-    """
-    import jax.numpy as jnp
-    from .salsa20 import device_stream_words
-
-    lp = ring.limb_params
-    total = ring.nmoduli * ring.degree
-    nbytes = total * lp.itemsize
-    nblocks = (nbytes + 63) // 64
-    words32 = device_stream_words(key, nonce, nblocks).reshape(-1)
-    if lp.itemsize == 2:
-        lo = (words32 & 0xFFFF).astype(jnp.uint16)
-        hi = (words32 >> 16).astype(jnp.uint16)
-        vals = jnp.stack([lo, hi], axis=-1).reshape(-1)[:total]
-    elif lp.itemsize == 4:
-        vals = words32[:total]
-    else:  # u64: little-endian pairs of 32-bit words
-        w = words32.astype(jnp.uint64)
-        vals = (w[0::2] | (w[1::2] << 32))[:total]
-    vals = vals.reshape(ring.nmoduli, ring.degree)
-    mask = jnp.asarray((1 << lp.modulus_bits) - 1, dtype=lp.dtype)
-    p_col = jnp.asarray(np.array(ring.moduli, dtype=lp.dtype).reshape(-1, 1))
-    t = vals & mask
-    return jnp.where(t >= p_col, t - p_col, t)

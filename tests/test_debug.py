@@ -85,3 +85,69 @@ def test_flag_toggles():
     ring = nfl.ring_from_modulus("u32", 64, 60)
     bad = nfl.Poly(jnp.full(ring.shape, jnp.uint32(0xFFFFFFFF)), ring)
     _ = bad + bad               # no check when disabled
+
+
+def test_kernel_boundary_bracket_catches_bad_input():
+    """Strict mode must bracket the Pallas/MXU kernel dispatch too
+    (reference sse.hpp:57-67 asserts in its SIMD paths): an out-of-range
+    input on the fused-kernel path raises at the wrapper boundary."""
+    import os
+    import jax
+    from nfllib_tpu.ops import ntt as ntt_mod
+    from nfllib_tpu.ops import ntt_mxu
+
+    ring = nfl.ring_from_modulus("u32", 256, 60)
+    ctx = ring.context()
+    prev = os.environ.get("NFL_TPU_NTT")
+    os.environ["NFL_TPU_NTT"] = "mxu"     # force the fused-kernel dispatch
+    try:
+        assert ntt_mod._fused_mxu_module(ring) is ntt_mxu
+        bad = jnp.full(ring.shape, jnp.uint32(0xFFFFFFFF))
+        with pytest.raises(AssertionError, match="STRICTMOD"):
+            ntt_mod.ntt_pow_phi(bad, ctx)
+    finally:
+        if prev is None:
+            os.environ.pop("NFL_TPU_NTT", None)
+        else:
+            os.environ["NFL_TPU_NTT"] = prev
+
+
+def test_kernel_strict_build_bit_identical():
+    """The strict kernel build (in-kernel stage checks + poison epilogue)
+    must produce bit-identical outputs to the normal build on valid data."""
+    import os
+    import numpy as np
+    from nfllib_tpu.ops import ntt_mxu
+    from nfllib_tpu.prng.salsa20 import Salsa20Stream
+
+    ring = nfl.ring_from_modulus("u32", 256, 60)
+    ctx = ring.context()
+    s = Salsa20Stream(b"\x02" * 32)
+    x = nfl.Poly.sample(ring, nfl.uniform(), s).data
+    debug.set_strictmod(False)
+    base_f = np.asarray(ntt_mxu.ntt_pow_phi_fused(x, ctx, interpret=True))
+    base_i = np.asarray(
+        ntt_mxu.invntt_pow_invphi_fused(base_f, ctx, interpret=True))
+    debug.set_strictmod(True)
+    strict_f = np.asarray(ntt_mxu.ntt_pow_phi_fused(x, ctx, interpret=True))
+    strict_i = np.asarray(
+        ntt_mxu.invntt_pow_invphi_fused(strict_f, ctx, interpret=True))
+    np.testing.assert_array_equal(base_f, strict_f)
+    np.testing.assert_array_equal(base_i, strict_i)
+    np.testing.assert_array_equal(strict_i, np.asarray(x))
+
+
+def test_kernel_strict_build_u64_bit_identical():
+    import numpy as np
+    from nfllib_tpu.ops import ntt_mxu_u64
+    from nfllib_tpu.prng.salsa20 import Salsa20Stream
+
+    ring = nfl.ring_from_modulus("u64", 64, 124)
+    ctx = ring.context()
+    s = Salsa20Stream(b"\x03" * 32)
+    x = nfl.Poly.sample(ring, nfl.uniform(), s).data
+    debug.set_strictmod(False)
+    base = np.asarray(ntt_mxu_u64.ntt_pow_phi_fused(x, ctx, interpret=True))
+    debug.set_strictmod(True)
+    strict = np.asarray(ntt_mxu_u64.ntt_pow_phi_fused(x, ctx, interpret=True))
+    np.testing.assert_array_equal(base, strict)

@@ -87,3 +87,36 @@ def test_fused_6bit_geometry_roundtrip(degree, agg, limb, rng):
     np.testing.assert_array_equal(want, f)
     back = np.asarray(ntt_mxu.invntt_pow_invphi_fused(f, ctx, interpret=True))
     np.testing.assert_array_equal(back, x)
+
+
+def test_recombine_pack_boundary_exact():
+    """The carry-free Barrett pack in _recombine_groups must be exact at the
+    extremes of the group-sum contract: G_a in [-2^25, 2^25] (the |G_a| bound
+    of _fused_geometry), across moduli and all sign/magnitude corners."""
+    import itertools
+    import jax.numpy as jnp
+
+    ring = nfl.Ring("u32", 1 << 14, 4)
+    gmax = 1 << 25
+    corners = np.array([-gmax, -gmax + 1, -1, 0, 1, gmax - 1, gmax],
+                       dtype=np.int64)
+    # all 4-tuples over a subsample of corners + random fill
+    combos = list(itertools.product([-gmax, 0, gmax], repeat=4))
+    rng = np.random.default_rng(7)
+    rand = rng.integers(-gmax, gmax + 1, size=(256, 4))
+    allg = np.concatenate([np.array(combos, dtype=np.int64), rand], axis=0)
+
+    for cm in range(ring.nmoduli):
+        p = int(ring.moduli[cm])
+        m60 = (1 << 60) // p
+        sh = lambda j, _m=m60: jnp.uint32(_m)
+        groups = [jnp.asarray(allg[:, a].astype(np.int32)).reshape(-1, 1, 1)
+                  for a in range(4)]
+        out = np.asarray(ntt_mxu._recombine_groups(
+            groups, jnp.uint32(p), sh, 8, 4, corr=None,
+            strict=True)).reshape(-1)
+        # oracle: (sum (G_a + BIAS) 2^(8a)) mod p
+        for i in range(allg.shape[0]):
+            v = sum((int(allg[i, a]) + ntt_mxu._BAL_BIAS) << (8 * a)
+                    for a in range(4))
+            assert int(out[i]) == v % p, (cm, i, allg[i])

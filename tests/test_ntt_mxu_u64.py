@@ -55,3 +55,43 @@ def test_fused64_large_roundtrip(degree, agg, limb, rng):
     back = np.asarray(ntt_mxu_u64.invntt_pow_invphi_fused(
         f, ctx, interpret=True))
     np.testing.assert_array_equal(back, x)
+
+
+def test_recombine64_pack_boundary_exact():
+    """Carry-free Barrett pack exactness at the group-sum contract extremes
+    (|G_a| <= 2^25 for the u64 tier's max contraction 256)."""
+    import itertools
+    import jax.numpy as jnp
+    from nfllib_tpu.ops import ntt_mxu_u64 as M64
+    from nfllib_tpu.ops.ntt_pallas_u64 import _split
+
+    ring = nfl.Ring("u64", 8192, 3)
+    gmax = 1 << 25
+    combos = list(itertools.product([-gmax, 0, gmax], repeat=2))
+    rng = np.random.default_rng(11)
+    cases = []
+    for lohalf, hihalf in combos:
+        row = [lohalf] * 4 + [hihalf] * 4
+        cases.append(row)
+    cases = np.array(cases + rng.integers(
+        -gmax, gmax + 1, size=(256, 8)).tolist(), dtype=np.int64)
+
+    for cm in range(ring.nmoduli):
+        p = int(ring.moduli[cm])
+        mbar = (1 << 124) // p
+        p_pair = tuple(jnp.uint32(v) for v in
+                       ((p >> 32) & 0xFFFFFFFF, p & 0xFFFFFFFF))
+        m_pair = tuple(jnp.uint32(v) for v in
+                       ((mbar >> 32) & 0xFFFFFFFF, mbar & 0xFFFFFFFF))
+        groups = [jnp.asarray(cases[:, a].astype(np.int32)).reshape(-1, 1, 1)
+                  for a in range(8)]
+        zero_corr = (jnp.uint32(0), jnp.uint32(0))
+        hi, lo = M64._recombine64(groups, p_pair, m_pair, zero_corr,
+                                  strict=True)
+        out = (np.asarray(hi).astype(np.uint64) << 32) | np.asarray(
+            lo).astype(np.uint64)
+        out = out.reshape(-1)
+        for i in range(cases.shape[0]):
+            v = sum((int(cases[i, a]) + M64._BIAS) << (8 * a)
+                    for a in range(8))
+            assert int(out[i]) == v % p, (cm, i, cases[i])
