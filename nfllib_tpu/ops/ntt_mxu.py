@@ -321,7 +321,23 @@ def _fused_tables(ring):
         corr2[cm, 0, :] = c2
 
     p_vec = ctx.p.reshape(m, 1, 1).astype(np.uint32)
-    return n1, n2, w1l, w2l, tw, tws, corr1, corr2, shoup1, p_vec
+    w1t = _interleave_left(w1l, ndig) if ndig == 4 else w1l
+    return n1, n2, w1t, w2l, tw, tws, corr1, corr2, shoup1, p_vec
+
+
+def _interleave_left(w1l, ndig):
+    """[m, ndig*ndig, n1, n1] digit planes -> [m, ndig, n1, ndig*n1] with
+    column order matching pltpu.bitcast's byte interleave: the kernel
+    digitizes X for the LEFT matmul by bitcasting u32 rows to int8 — byte b
+    of x[i1, i2] lands at row ndig*i1 + b (verified compiled AND interpret
+    on TPU) — so W digit plane a gets its b-planes interleaved along
+    columns, w1i[a][r, ndig*i1 + b] = digit_a(W^(b))[r, i1], and the b-sum
+    happens inside ONE int8 dot of contraction ndig*n1."""
+    m, _, n1, _ = w1l.shape
+    return np.ascontiguousarray(
+        w1l.reshape(m, ndig, ndig, n1, n1)
+        .transpose(0, 1, 3, 4, 2)
+        .reshape(m, ndig, n1, ndig * n1))
 
 
 _BAL_BIAS = 1 << 25      # makes balanced group sums nonneg (|G_a| < 2^25)
@@ -412,7 +428,25 @@ def _digitize_i8(x, dbits, ndig):
 def _left_matmul_batched(x, w_ref, p, sh, dbits, ndig, bb, n1, n2,
                          corr=None, strict=True):
     """W @ X_i for a [bb, n1, n2] batch block: per-element column-DFT dots
-    (the small matmul), groups recombined batched."""
+    (the small matmul), groups recombined batched.
+
+    u32 (ndig=4): X digitizes for FREE — one XOR with 0x80808080 then a
+    pltpu.bitcast to int8, which lands byte b of x[i1, i2] at row
+    ndig*i1 + b (the packed int8 sublane layout; verified compiled and
+    interpret).  int8-reinterpreting byte^0x80 IS the offset digit
+    byte - 128, so the whole shift/sub/cast digitize chain disappears and
+    the b-sum contracts inside ONE [n1, 4n1] @ [4n1, n2] dot per digit
+    plane a (w_ref holds the _interleave_left tables).
+    u16 (ndig=2): 7-bit digits can't byte-bitcast; classic path."""
+    if ndig == 4:
+        xb = pltpu.bitcast(x ^ jnp.uint32(0x80808080), jnp.int8)
+        groups = []
+        for a in range(ndig):
+            per_b = [jax.lax.dot_general(
+                w_ref[a], xb[i], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32) for i in range(bb)]
+            groups.append(jnp.stack(per_b) if bb > 1 else per_b[0][None])
+        return _recombine_groups(groups, p, sh, dbits, ndig, corr, strict)
     xd = _digitize_i8(x, dbits, ndig)            # ndig x [bb, n1, n2] int8
     groups = []
     for a in range(ndig):
@@ -539,7 +573,10 @@ def _build_fused(ring, interpret, strict_checks=False):
             in_specs=[
                 pl.BlockSpec((bb, 1, n1, n2), lambda c, b: (b, c, _i0, _i0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ndig * ndig, n1, n1),
+                # u32: _interleave_left layout [ndig, n1, ndig*n1];
+                # u16: plain digit planes [ndig*ndig, n1, n1]
+                pl.BlockSpec((1, ndig, n1, ndig * n1) if ndig == 4
+                             else (1, ndig * ndig, n1, n1),
                              lambda c, b: (c, _i0, _i0, _i0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, ndig * ndig, n2, n2),
@@ -645,7 +682,8 @@ def _fused_inv_tables(ring):
         corr2[cm, 0, :] = c2
 
     p_vec = ctx.p.reshape(m, 1, 1).astype(np.uint32)
-    return n1, n2, w1l, w2l, tw, tws, corr1, corr2, shoup1, p_vec
+    w1t = _interleave_left(w1l, ndig) if ndig == 4 else w1l
+    return n1, n2, w1t, w2l, tw, tws, corr1, corr2, shoup1, p_vec
 
 
 def _fused_inv_kernel(dbits, ndig, mulhi, bb, n1, n2, strict_checks,
@@ -699,7 +737,10 @@ def _build_fused_inv(ring, interpret, strict_checks=False):
             in_specs=[
                 pl.BlockSpec((bb, 1, n1, n2), lambda c, b: (b, c, _i0, _i0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ndig * ndig, n1, n1),
+                # u32: _interleave_left layout [ndig, n1, ndig*n1];
+                # u16: plain digit planes [ndig*ndig, n1, n1]
+                pl.BlockSpec((1, ndig, n1, ndig * n1) if ndig == 4
+                             else (1, ndig * ndig, n1, n1),
                              lambda c, b: (c, _i0, _i0, _i0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, ndig * ndig, n2, n2),

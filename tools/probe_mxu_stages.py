@@ -40,17 +40,17 @@ def _variant_kernel(mode, dbits, ndig, bb, n1, n2,
         d = M._digitize_i8(x, dbits, ndig)
         x = sum(di.astype(jnp.int32) for di in d).astype(jnp.uint32)
     elif mode in ("mm1", "mm1rec", "mm1rec_tw"):
-        xd = M._digitize_i8(x, dbits, ndig)
         if mode == "mm1":
+            # raw dots only (bitcast digitize + interleaved w1 tables)
+            from jax.experimental.pallas import tpu as _pltpu
+            xb = _pltpu.bitcast(x ^ jnp.uint32(0x80808080), jnp.int8)
             acc = None
             for a in range(ndig):
-                for b in range(ndig):
-                    for i in range(bb):
-                        s = jax.lax.dot_general(
-                            w1_ref[0, ndig * a + b], xd[b][i],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)
-                        acc = s if acc is None else acc + s
+                for i in range(bb):
+                    s = jax.lax.dot_general(
+                        w1_ref[0, a], xb[i], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    acc = s if acc is None else acc + s
             x = jnp.broadcast_to(acc.astype(jnp.uint32)[None], x.shape)
         else:
             x = M._left_matmul_batched(x, w1_ref[0], p, sh, dbits, ndig,
@@ -79,7 +79,8 @@ def build_variant(ring, mode):
             in_specs=[
                 pl.BlockSpec((bb, 1, n1, n2), lambda c, b: (b, c, _i0, _i0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ndig * ndig, n1, n1),
+                pl.BlockSpec((1, ndig, n1, ndig * n1) if ndig == 4
+                             else (1, ndig * ndig, n1, n1),
                              lambda c, b: (c, _i0, _i0, _i0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, ndig * ndig, n2, n2),
