@@ -49,9 +49,17 @@ _I0 = np.int32(0)
 
 
 def supports_fused(ring) -> bool:
-    """Degrees 8..65536: above that the digit-plane tables (64 * n2^2 int8
-    per channel) outgrow VMEM."""
-    return ring.limb == "u64" and 8 <= ring.degree <= 65536
+    """Degrees 8..65536 run the single fused kernel; 2^17..2^20 run the
+    split large-degree path (_large_run64: two generic mod-matmul kernels
+    from ops/dft_mxu.py with UNSCALED 8-plane tables — 8*size^2 int8 <=
+    8 MB at size 1024 — bridged by a jnp pair-Shoup twiddle), closing the
+    reference's params.hpp:115 headroom (u64 kMaxPolyDegree = 2^20)."""
+    if ring.limb != "u64" or ring.degree < 8:
+        return False
+    if ring.degree <= 65536:
+        return True
+    n1, n2 = _geometry(ring.degree)
+    return max(n1, n2) <= 1024          # degree <= 2^20
 
 
 def _geometry(n):
@@ -338,11 +346,176 @@ def _build64(ring, inverse, interpret, strict_checks=False):
     return call
 
 
+# ---------------------------------------------------------------------------
+# Large-degree path (2^17..2^20): generic dft_mxu mod-matmul kernels with
+# Harvey-ordered matrices, bridged by a jnp pair-Shoup twiddle.  One 8 MB
+# table per kernel call instead of 64 pre-scaled planes that outgrow VMEM.
+# ---------------------------------------------------------------------------
+
+def _large_e1_fwd(ring, size):
+    """Column-DFT matrices e1[r, i1] = (wc^rev(r) * phi^n2)^i1 (the phi
+    twist's i1 part folded in), rows in Harvey bit-reversed output order —
+    identical math to _tables64's e1, built vectorized."""
+    from ..ring import _np_mulmod_vec
+    ctx = ring.context()
+    n = ring.degree
+    n1, n2 = _geometry(n)
+    assert size == n1
+    rev1 = bitrev_indices(n1)
+    m = ring.nmoduli
+    mats = np.empty((m, n1, n1), dtype=np.uint64)
+    for cm in range(m):
+        p = int(ring.moduli[cm])
+        w, phi = ctx.omega_int[cm], ctx.phi_int[cm]
+        wc = pow(w, n2, p)
+        phin2 = pow(phi, n2, p)
+        wcr = np.array([pow(wc, int(r), p) for r in rev1], dtype=np.uint64)
+        q = _np_mulmod_vec(wcr, np.uint64(phin2), p)     # per-row ratio
+        e = mats[cm]
+        e[:, 0] = 1
+        for i1 in range(1, n1):
+            e[:, i1] = _np_mulmod_vec(e[:, i1 - 1], q, p)
+    return mats
+
+
+def _large_e2_fwd(ring, size):
+    """Row-DFT matrices e2[i2, c] = (wr^rev(c))^i2, columns bit-reversed."""
+    from ..ring import _np_mulmod_vec
+    ctx = ring.context()
+    n = ring.degree
+    n1, n2 = _geometry(n)
+    assert size == n2
+    rev2 = bitrev_indices(n2)
+    m = ring.nmoduli
+    mats = np.empty((m, n2, n2), dtype=np.uint64)
+    for cm in range(m):
+        p = int(ring.moduli[cm])
+        wr = pow(ctx.omega_int[cm], n1, p)
+        q = np.array([pow(wr, int(c), p) for c in rev2], dtype=np.uint64)
+        e = mats[cm]
+        e[0, :] = 1
+        for i2 in range(1, n2):
+            e[i2, :] = _np_mulmod_vec(e[i2 - 1, :], q, p)
+    return mats
+
+
+def _large_e1_inv(ring, size):
+    """Inverse column matrices e1[i1, r] = (iwc^rev(r) * iphi^n2)^i1 (the
+    n^-1-free untwist i1 part folded in)."""
+    from ..ring import _np_mulmod_vec
+    ctx = ring.context()
+    n = ring.degree
+    n1, n2 = _geometry(n)
+    assert size == n1
+    rev1 = bitrev_indices(n1)
+    m = ring.nmoduli
+    mats = np.empty((m, n1, n1), dtype=np.uint64)
+    for cm in range(m):
+        p = int(ring.moduli[cm])
+        iw = pow(ctx.omega_int[cm], -1, p)
+        iphi = pow(ctx.phi_int[cm], -1, p)
+        iwc = pow(iw, n2, p)
+        iphin2 = pow(iphi, n2, p)
+        iwcr = np.array([pow(iwc, int(r), p) for r in rev1], dtype=np.uint64)
+        q = _np_mulmod_vec(iwcr, np.uint64(iphin2), p)   # per-column ratio
+        e = mats[cm]
+        e[0, :] = 1
+        for i1 in range(1, n1):
+            e[i1, :] = _np_mulmod_vec(e[i1 - 1, :], q, p)
+    return mats
+
+
+def _large_e2_inv(ring, size):
+    """Inverse row matrices e2[c, i2] = (iwr^rev(c))^i2."""
+    from ..ring import _np_mulmod_vec
+    ctx = ring.context()
+    n = ring.degree
+    n1, n2 = _geometry(n)
+    assert size == n2
+    rev2 = bitrev_indices(n2)
+    m = ring.nmoduli
+    mats = np.empty((m, n2, n2), dtype=np.uint64)
+    for cm in range(m):
+        p = int(ring.moduli[cm])
+        iwr = pow(pow(ctx.omega_int[cm], -1, p), n1, p)
+        q = np.array([pow(iwr, int(c), p) for c in rev2], dtype=np.uint64)
+        e = mats[cm]
+        e[:, 0] = 1
+        for i2 in range(1, n2):
+            e[:, i2] = _np_mulmod_vec(e[:, i2 - 1], q, p)
+    return mats
+
+
+@functools.lru_cache(maxsize=None)
+def _large_twiddle(ring, inverse):
+    """[m, n1, n2] twiddle (+ 64-bit Shoup companions) for the jnp bridge:
+    fwd t[r, i2] = (w^rev(r) * phi)^i2; inv t[r, i2] = inv_deg *
+    (iw^rev(r) * iphi)^i2 (the i2 untwist and n^-1 folded in)."""
+    from ..ring import _np_mulmod_vec, _np_shoup_vec
+    ctx = ring.context()
+    n, m = ring.degree, ring.nmoduli
+    n1, n2 = _geometry(n)
+    rev1 = bitrev_indices(n1)
+    tw = np.empty((m, n1, n2), dtype=np.uint64)
+    tws = np.empty((m, n1, n2), dtype=np.uint64)
+    for cm in range(m):
+        p = int(ring.moduli[cm])
+        w, phi = ctx.omega_int[cm], ctx.phi_int[cm]
+        if inverse:
+            w, phi = pow(w, -1, p), pow(phi, -1, p)
+        start = int(ctx.invpolyDegree[cm]) if inverse else 1
+        wr = np.array([pow(w, int(r), p) for r in rev1], dtype=np.uint64)
+        q = _np_mulmod_vec(wr, np.uint64(phi), p)        # per-row ratio
+        t = tw[cm]
+        t[:, 0] = start
+        for i2 in range(1, n2):
+            t[:, i2] = _np_mulmod_vec(t[:, i2 - 1], q, p)
+        tws[cm] = _np_shoup_vec(t.reshape(-1), p, 64).reshape(n1, n2)
+    return tw, tws
+
+
+def _register_large_providers():
+    from . import dft_mxu
+    reg = dft_mxu.register_matrix_provider
+    reg("ntt64_e1_fwd", _large_e1_fwd)
+    reg("ntt64_e2_fwd", _large_e2_fwd)
+    reg("ntt64_e1_inv", _large_e1_inv)
+    reg("ntt64_e2_inv", _large_e2_inv)
+
+
+def _large_run64(x, ctx, inverse, interpret):
+    from . import dft_mxu
+    _register_large_providers()
+    ring = ctx.ring
+    m, n = ring.nmoduli, ring.degree
+    n1, n2 = _geometry(n)
+    x = jnp.asarray(x)
+    batch = x.shape[:-2]
+    xb = x.reshape((-1, m, n1, n2))
+    tw, tws = _large_twiddle(ring, inverse)
+    p3 = jnp.asarray(ctx.p_col)[..., None]
+    if not inverse:
+        f = dft_mxu.matmul_mod(xb, ring, "ntt64_e1_fwd", n1, axis=-2,
+                               interpret=interpret)
+        f = modops.mulmod_shoup(f, jnp.asarray(tw), jnp.asarray(tws), p3)
+        o = dft_mxu.matmul_mod(f, ring, "ntt64_e2_fwd", n2, axis=-1,
+                               interpret=interpret)
+    else:
+        f = dft_mxu.matmul_mod(xb, ring, "ntt64_e2_inv", n2, axis=-1,
+                               interpret=interpret)
+        f = modops.mulmod_shoup(f, jnp.asarray(tw), jnp.asarray(tws), p3)
+        o = dft_mxu.matmul_mod(f, ring, "ntt64_e1_inv", n1, axis=-2,
+                               interpret=interpret)
+    return o.reshape(batch + (m, n))
+
+
 def _run64(x, ctx, inverse, interpret):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     ring = ctx.ring
     m, n = ring.nmoduli, ring.degree
+    if n > 65536:
+        return _large_run64(x, ctx, inverse, bool(interpret))
     n1, n2 = _geometry(n)
     x = jnp.asarray(x)
     batch = x.shape[:-2]

@@ -13,12 +13,41 @@ propagates the sharding with no collectives.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..poly import Poly
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None, **kw):
+    """Multi-host entry point: initialize the JAX distributed runtime so
+    jax.devices() spans every host's chips and shard_map collectives ride
+    ICI within a slice / DCN across slices.
+
+    Call once per process before any other JAX API, mirroring
+    jax.distributed.initialize's contract.  Arguments default to the
+    standard environment (JAX_COORDINATOR_ADDRESS / NUM_PROCESSES /
+    PROCESS_ID, or the TPU pod runtime's automatic discovery when all are
+    None).  Returns (process_index, process_count).
+
+    The reference has no multi-process story at all (its only scaling axis
+    is SIMD width, SURVEY.md §2 note); this is the TPU-native slot for it.
+    """
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id, **kw)
+    return jax.process_index(), jax.process_count()
 
 
 def make_mesh(shape=None, axis_names=("batch", "rns", "deg"), devices=None):

@@ -101,11 +101,11 @@ def ring_from_modulus(limb: str, degree: int, aggregated_bits: int) -> Ring:
 def _powers_mod(base: int, count: int, p: int, start: int = 1, obj: bool = False):
     """[start * base^i mod p for i < count] via doubling, exact arithmetic.
 
-    Uses uint64 numpy when products fit (u16/u32 limbs), otherwise python-int
-    object arrays (u64 limb, 124-bit products).
-    """
-    dt = object if obj else np.uint64
-    out = np.empty(count, dtype=dt)
+    u16/u32 limbs: plain uint64 numpy.  u64 limb (obj=True, kept for the
+    callers' dtype contract): vectorized pair-Barrett (_np_mulmod_vec) —
+    O(n) numpy work instead of O(n) python-int multiplications, which
+    matters at n = 2^20 (round-2 VERDICT item 4)."""
+    out = np.empty(count, dtype=np.uint64)
     if count == 0:
         return out
     out[0] = start % p
@@ -113,17 +113,93 @@ def _powers_mod(base: int, count: int, p: int, start: int = 1, obj: bool = False
     step = base % p
     while filled < count:
         take = min(filled, count - filled)
-        out[filled:filled + take] = (out[:take] * step) % p
+        if obj:
+            out[filled:filled + take] = _np_mulmod_vec(
+                out[:take], np.uint64(step), p)
+        else:
+            out[filled:filled + take] = (out[:take] * np.uint64(step)) \
+                % np.uint64(p)
         step = (step * step) % p
         filled += take
     return out
 
 
 def _shoup_arr(vals, p: int, w: int, obj: bool):
-    """floor(v << w / p) elementwise, exact."""
+    """floor(v << w / p) elementwise, exact (vectorized for every tier)."""
     if obj:
-        return np.array([(int(v) << w) // p for v in vals], dtype=object)
+        v64 = np.asarray(vals).astype(np.uint64)    # values < p < 2^62
+        return _np_shoup_vec(v64, p, w)
     return ((vals.astype(np.uint64) << np.uint64(w)) // np.uint64(p))
+
+
+# ---------------------------------------------------------------------------
+# vectorized host modular arithmetic (uint64 numpy — no object arrays)
+#
+# The four-step twiddle tables are [m, n1, n2] = up to a million entries per
+# channel at n = 2^20; building them with python-int object math is O(n)
+# interpreter work.  These helpers run the same exact math vectorized in
+# numpy uint64 (the 62-bit tier uses the same pair/Barrett formulations as
+# the device kernels: _mulhi_u64 via 32-bit splits, m = floor(2^124/p),
+# F = floor(2^125/p)).
+# ---------------------------------------------------------------------------
+
+def _np_mulhi_u64(x, y):
+    m32 = np.uint64(0xFFFFFFFF)
+    s32 = np.uint64(32)
+    xl, xh = x & m32, x >> s32
+    yl, yh = y & m32, y >> s32
+    ll = xl * yl
+    lh = xl * yh
+    hl = xh * yl
+    hh = xh * yh
+    mid = (ll >> s32) + (lh & m32) + (hl & m32)
+    return hh + (lh >> s32) + (hl >> s32) + (mid >> s32)
+
+
+def _np_mulmod_vec(a, b, p: int):
+    """a * b mod p for uint64 arrays, exact.
+
+    p < 2^31: plain uint64 products.  2^61 < p < 2^62 (the u64 tier):
+    Barrett with m = floor(2^124/p) — q = hi64((v >> 60) * m) satisfies
+    q > v/p - 3, so r = v - q*p < 4p < 2^64 exact in wrapping uint64."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    if p < (1 << 31):
+        return (a * b) % np.uint64(p)
+    assert p > (1 << 61), "u64 Barrett needs 62-bit moduli"
+    mbar = np.uint64((1 << 124) // p)
+    pv = np.uint64(p)
+    hi = _np_mulhi_u64(a, b)
+    lo = a * b
+    a60 = (hi << np.uint64(4)) | (lo >> np.uint64(60))
+    q = _np_mulhi_u64(a60, mbar)
+    r = lo - q * pv
+    two_p = np.uint64(2 * p)
+    r = np.where(r >= two_p, r - two_p, r)
+    return np.where(r >= pv, r - pv, r)
+
+
+def _np_shoup_vec(t, p: int, w: int):
+    """floor(t << w / p) for uint64 arrays of canonical residues, exact.
+
+    w <= 32: plain uint64 shifts.  w == 64 (u64 tier): the compute_shoup
+    Barrett — F = floor(2^125/p), qhat = floor(t*F/2^61) in [q-3, q],
+    r = -qhat*p (wrapping) < 4p, three fixups."""
+    t = np.asarray(t, dtype=np.uint64)
+    if w <= 32:
+        return (t << np.uint64(w)) // np.uint64(p)
+    assert w == 64 and p > (1 << 61)
+    F = np.uint64((1 << 125) // p)
+    pv = np.uint64(p)
+    hi = _np_mulhi_u64(t, F)
+    lo = t * F
+    qhat = (hi << np.uint64(3)) | (lo >> np.uint64(61))
+    r = np.uint64(0) - qhat * pv
+    for _ in range(3):
+        ge = r >= pv
+        r = np.where(ge, r - pv, r)
+        qhat = qhat + ge.astype(np.uint64)
+    return qhat
 
 
 class RingContext:

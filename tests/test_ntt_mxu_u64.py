@@ -95,3 +95,44 @@ def test_recombine64_pack_boundary_exact():
             v = sum((int(cases[i, a]) + M64._BIAS) << (8 * a)
                     for a in range(8))
             assert int(out[i]) == v % p, (cm, i, cases[i])
+
+
+def test_large_path_matches_jnp_small(rng):
+    """The large-degree split path (_large_run64: two dft_mxu mod-matmul
+    kernels + jnp pair-Shoup twiddle) is bit-identical to the jnp Harvey
+    path.  Exercised at small degrees for speed; dispatch uses it only
+    above 2^16 (supports_fused docstring)."""
+    import os
+    prev = os.environ.get("NFL_TPU_NTT")
+    os.environ["NFL_TPU_NTT"] = "jnp"
+    try:
+        for deg in (1024, 4096):
+            ring = nfl.Ring("u64", deg, 2)
+            ctx = ring.context()
+            x = rand_residues(ring, rng)
+            want = np.asarray(ntt_jnp.ntt_pow_phi(x, ctx))
+            got = np.asarray(ntt_mxu_u64._large_run64(x, ctx, False, True))
+            np.testing.assert_array_equal(got, want)
+            back = np.asarray(ntt_mxu_u64._large_run64(got, ctx, True, True))
+            np.testing.assert_array_equal(back, np.asarray(x))
+    finally:
+        if prev is None:
+            os.environ.pop("NFL_TPU_NTT", None)
+        else:
+            os.environ["NFL_TPU_NTT"] = prev
+
+
+@pytest.mark.slow
+def test_large_degree_dispatch_2pow17(rng):
+    """Degrees > 2^16 dispatch through the split path; golden contract:
+    bit-identical to the jnp path and exactly invertible."""
+    ring = nfl.Ring("u64", 1 << 17, 1)
+    assert ntt_mxu_u64.supports_fused(ring)
+    ctx = ring.context()
+    x = rand_residues(ring, rng)
+    want = np.asarray(ntt_jnp.ntt_pow_phi(x, ctx))
+    got = np.asarray(ntt_mxu_u64.ntt_pow_phi_fused(x, ctx, interpret=True))
+    np.testing.assert_array_equal(got, want)
+    back = np.asarray(ntt_mxu_u64.invntt_pow_invphi_fused(
+        got, ctx, interpret=True))
+    np.testing.assert_array_equal(back, np.asarray(x))
