@@ -65,6 +65,18 @@ def _ndig(limb):
     return 4 if limb == "u32" else 8
 
 
+def _other_block(limb, size, other):
+    """Block size along the non-transformed axis: bounds the VMEM working
+    set (digit planes of the x block + pack accumulators + dot buffers,
+    ~15 i32-equivalent [size, oblk] live arrays) to ~5 MB next to the
+    ndig*size^2 table planes.  Power-of-two, >= 128 when other allows."""
+    budget = 5 << 20
+    oblk = other
+    while oblk > 128 and 15 * 4 * size * oblk > budget:
+        oblk //= 2
+    return oblk
+
+
 def _bias_bits(limb, size):
     """|G_k| <= ndig * 2^14 * size; the uniform group bias is the next
     power of two (so biased groups g' stay <= 2*bias, within the carry-free
@@ -176,29 +188,17 @@ def _digitize_offset_u32(x, ndig):
     return [((xi >> (8 * a)) - off).astype(jnp.int8) for a in range(ndig)]
 
 
-def _pack_barrett_u32(groups, bias, m60, p):
-    """Carry-free pack of 4 biased groups + one Barrett step -> r < 4p
-    (the ops/ntt_mxu._recombine_groups formulation with parametric bias)."""
-    b = jnp.int32(bias)
-    g = [(gr + b).astype(jnp.uint32) for gr in groups]
-    lo = g[0]
-    for k in range(1, len(g)):
-        lo = lo + (g[k] << (8 * k))
-    a28 = None
-    for k in range(1, len(g)):
-        t = g[k] >> (28 - 8 * k)
-        a28 = t if a28 is None else a28 + t
+def _finish_barrett_u32(lo, a28, m60, p):
+    """One Barrett step on the incrementally folded (lo, a28) pack -> < 4p
+    (the ops/ntt_mxu._recombine_groups carry-free formulation)."""
     q = modops._mulhi_u32(a28, m60)
     return lo - q * p
 
 
-def _recombine_u32(groups, bias, m60, chi, chis, corr, p, strict):
-    """15->7 group two-part recombination: lo groups k<4 and hi groups
-    k=4..6 Barrett-pack separately; result = r_lo + shoup(r_hi, 2^32)."""
+def _combine_parts_u32(r_lo, r_hi, chi, chis, corr, p, strict):
+    """result = r_lo + shoup(r_hi, 2^(8*ndig)) + corr, lazily reduced."""
     two_p = p + p
-    r_lo = _pack_barrett_u32(groups[:4], bias, m60, p)           # < 4p
     r_lo = r_lo - jnp.where(r_lo >= two_p, two_p, jnp.zeros_like(r_lo))
-    r_hi = _pack_barrett_u32(groups[4:], bias, m60, p)           # < 4p
     hi_term = modops.mulmod_shoup_lazy(r_hi, chi, chis, p)       # < 2p
     r = r_lo + hi_term                                           # < 4p
     r = r - jnp.where(r >= two_p, two_p, jnp.zeros_like(r))
@@ -218,10 +218,17 @@ def _kernel_u32(left, size, other, ndig, bias, strict,
     shape = (size, other) if left else (other, size)
     x = x_ref[...].reshape(shape).astype(jnp.uint32)
     xd = _digitize_offset_u32(x, ndig)
-    ngroups = 2 * ndig - 1
-    groups = [None] * ngroups
-    for a in range(ndig):
-        for b in range(ndig):
+    bconst = jnp.int32(bias)
+    # k-ordered dots with INCREMENTAL pack folding: only the four pack
+    # accumulators stay live across groups (materializing all 2*ndig-1
+    # group buffers would blow VMEM at size 512+)
+    packs = [[None, None], [None, None]]        # [part][lo, a28]
+    for k in range(2 * ndig - 1):
+        acc = None
+        for a in range(ndig):
+            b = k - a
+            if not 0 <= b < ndig:
+                continue
             if left:
                 s = jax.lax.dot_general(
                     w_ref[0, a], xd[b], (((1,), (0,)), ((), ())),
@@ -230,10 +237,19 @@ def _kernel_u32(left, size, other, ndig, bias, strict,
                 s = jax.lax.dot_general(
                     xd[b], w_ref[0, a], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
-            k = a + b
-            groups[k] = s if groups[k] is None else groups[k] + s
+            acc = s if acc is None else acc + s
+        g = (acc + bconst).astype(jnp.uint32)
+        part, kk = (0, k) if k < ndig else (1, k - ndig)
+        lo, a28 = packs[part]
+        lo = g if lo is None else lo + (g << (8 * kk))
+        if kk:
+            t = g >> (28 - 8 * kk)
+            a28 = t if a28 is None else a28 + t
+        packs[part] = [lo, a28]
+    r_lo = _finish_barrett_u32(packs[0][0], packs[0][1], m60, p)
+    r_hi = _finish_barrett_u32(packs[1][0], packs[1][1], m60, p)
     corr = corr_ref[0] if not left else corr_ref[0].reshape(size, 1)
-    out = _recombine_u32(groups, bias, m60, chi, chis, corr, p, strict)
+    out = _combine_parts_u32(r_lo, r_hi, chi, chis, corr, p, strict)
     o_ref[...] = out.reshape((1, 1) + out.shape).astype(o_ref.dtype)
 
 
@@ -248,29 +264,34 @@ def _build_u32(ring, size, provider, left, other, interpret, strict=True):
     sh[:, 0, 2] = consts[:, 2]
     corr32 = corr.astype(np.uint32).reshape(m, 1, size)
     p_vec = ring.context().p.reshape(m, 1, 1).astype(np.uint32)
-    xshape = (1, 1, size, other) if left else (1, 1, other, size)
+    oblk = _other_block(ring.limb, size, other)
+    nob = other // oblk
+    if left:
+        xshape = (1, 1, size, oblk)
+        xmap = lambda c, b, ob: (b, c, _I0, ob)
+    else:
+        xshape = (1, 1, oblk, size)
+        xmap = lambda c, b, ob: (b, c, ob, _I0)
 
     def call(xb):
         B = xb.shape[0]
         return pl.pallas_call(
-            functools.partial(_kernel_u32, left, size, other, ndig, bias,
+            functools.partial(_kernel_u32, left, size, oblk, ndig, bias,
                               strict),
-            grid=(m, B),
+            grid=(m, B, nob),
             in_specs=[
-                pl.BlockSpec(xshape, lambda c, b: (b, c, _I0, _I0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(xshape, xmap, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, ndig, size, size),
-                             lambda c, b: (c, _I0, _I0, _I0),
+                             lambda c, b, ob: (c, _I0, _I0, _I0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, size), lambda c, b: (c, _I0, _I0),
+                pl.BlockSpec((1, 1, size), lambda c, b, ob: (c, _I0, _I0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 3), lambda c, b: (c, _I0, _I0),
+                pl.BlockSpec((1, 1, 3), lambda c, b, ob: (c, _I0, _I0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 1), lambda c, b: (c, _I0, _I0),
+                pl.BlockSpec((1, 1, 1), lambda c, b, ob: (c, _I0, _I0),
                              memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec(xshape, lambda c, b: (b, c, _I0, _I0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec(xshape, xmap, memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(xb.shape, ring.dtype),
             interpret=interpret,
         )(xb, jnp.asarray(planes), jnp.asarray(corr32), jnp.asarray(sh),
@@ -293,35 +314,17 @@ def _digitize_offset_u64(xp, ndig):
     return digs
 
 
-def _pack_barrett_u64(groups, bias, mbar, p):
-    """Carry-free pair pack of 8 biased groups + one Barrett step -> r < 4p
-    (the ops/ntt_mxu_u64._recombine64 formulation, parametric bias).  Pads
-    with bias-only groups when fewer than 8 are given (the hi part)."""
-    b = jnp.int32(bias)
-    g = [(gr + b).astype(jnp.uint32) for gr in groups]
-    while len(g) < 8:
-        # ZERO padding (not bias): missing groups contribute nothing, so
-        # the bias over-count in corr covers exactly the real groups
-        g.append(jnp.zeros_like(g[0]))
-    w0 = g[0] + (g[1] << 8)
-    c = (w0 < g[0]).astype(jnp.uint32)
-    w0b = w0 + (g[2] << 16)
-    c = c + (w0b < w0).astype(jnp.uint32)
-    w0c = w0b + (g[3] << 24)
-    c = c + (w0c < w0b).astype(jnp.uint32)
-    w1c = ((g[1] >> 24) + (g[2] >> 16) + (g[3] >> 8) + c + g[4]
-           + (g[5] << 8) + (g[6] << 16) + (g[7] << 24))
-    a60 = (g[4] >> 28) + (g[5] >> 20) + (g[6] >> 12) + (g[7] >> 4)
+def _finish_barrett_u64(w0, w1, a60, mbar, p):
+    """One Barrett step on the incrementally folded pair pack -> r < 4p
+    (the ops/ntt_mxu_u64._recombine64 carry-free formulation)."""
     z = jnp.zeros_like(a60)
     q = p_mulhi((z, a60), mbar)[1]
-    return p_sub((w1c, w0c), p_mullo((z, q), p))                 # < 4p
+    return p_sub((w1, w0), p_mullo((z, q), p))
 
 
-def _recombine_u64(groups, bias, mbar, chi, chis, corr, p, strict):
+def _combine_parts_u64(r_lo, r_hi, chi, chis, corr, p, strict):
     two_p = p_add(p, p)
-    r_lo = _pack_barrett_u64(groups[:8], bias, mbar, p)
     r_lo = p_select(p_ge(r_lo, two_p), p_sub(r_lo, two_p), r_lo)
-    r_hi = _pack_barrett_u64(groups[8:], bias, mbar, p)          # < 4p
     hi_term = p_shoup_lazy(r_hi, chi, chis, p)                   # < 2p
     r = p_add(r_lo, hi_term)
     r = p_select(p_ge(r, two_p), p_sub(r, two_p), r)
@@ -342,10 +345,16 @@ def _kernel_u64(left, size, other, ndig, bias, strict,
     shape = (size, other) if left else (other, size)
     x = (xh_ref[...].reshape(shape), xl_ref[...].reshape(shape))
     xd = _digitize_offset_u64(x, ndig)
-    ngroups = 2 * ndig - 1
-    groups = [None] * ngroups
-    for a in range(ndig):
-        for b in range(ndig):
+    bconst = jnp.int32(bias)
+    # k-ordered dots with INCREMENTAL pair-pack folding (see _kernel_u32):
+    # per part only (w0, w1, a60) stay live, not 15 group buffers
+    packs = [[None, None, None], [None, None, None]]
+    for k in range(2 * ndig - 1):
+        acc = None
+        for a in range(ndig):
+            b = k - a
+            if not 0 <= b < ndig:
+                continue
             if left:
                 s = jax.lax.dot_general(
                     w_ref[0, a], xd[b], (((1,), (0,)), ((), ())),
@@ -354,13 +363,38 @@ def _kernel_u64(left, size, other, ndig, bias, strict,
                 s = jax.lax.dot_general(
                     xd[b], w_ref[0, a], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
-            k = a + b
-            groups[k] = s if groups[k] is None else groups[k] + s
+            acc = s if acc is None else acc + s
+        g = (acc + bconst).astype(jnp.uint32)
+        part, kk = (0, k) if k < ndig else (1, k - ndig)
+        w0, w1, a60 = packs[part]
+        if kk < 4:
+            add = g if kk == 0 else (g << (8 * kk))
+            w0n = add if w0 is None else w0 + add
+            if w0 is not None:
+                carry = (w0n < w0).astype(jnp.uint32)
+                w1 = carry if w1 is None else w1 + carry
+            if kk:
+                spill = g >> (32 - 8 * kk)
+                w1 = spill if w1 is None else w1 + spill
+            w0 = w0n
+        else:
+            w1 = (w1 + (g if kk == 4 else (g << (8 * (kk - 4)))))
+            t = g >> (60 - 8 * kk)
+            a60 = t if a60 is None else a60 + t
+        packs[part] = [w0, w1, a60]
+    outs = []
+    for part in range(2):
+        w0, w1, a60 = packs[part]
+        if w1 is None:
+            w1 = jnp.zeros_like(w0)
+        if a60 is None:
+            a60 = jnp.zeros_like(w0)
+        outs.append(_finish_barrett_u64(w0, w1, a60, mbar, p))
     if left:
         corr = (ch_ref[0].reshape(size, 1), cl_ref[0].reshape(size, 1))
     else:
         corr = (ch_ref[0], cl_ref[0])
-    out = _recombine_u64(groups, bias, mbar, chi, chis, corr, p, strict)
+    out = _combine_parts_u64(outs[0], outs[1], chi, chis, corr, p, strict)
     oh_ref[...] = out[0].reshape((1, 1) + shape)
     ol_ref[...] = out[1].reshape((1, 1) + shape)
 
@@ -382,29 +416,35 @@ def _build_u64(ring, size, provider, left, other, interpret, strict=True):
         sm[cm, 0, 3] = (chi << 64) // p
     smh, sml = _split(sm)
     ch, cl = _split(corr.reshape(m, 1, size).astype(object))
-    xshape = (1, 1, size, other) if left else (1, 1, other, size)
+    oblk = _other_block(ring.limb, size, other)
+    nob = other // oblk
+    if left:
+        xshape = (1, 1, size, oblk)
+        xmap = lambda c, b, ob: (b, c, _I0, ob)
+    else:
+        xshape = (1, 1, oblk, size)
+        xmap = lambda c, b, ob: (b, c, ob, _I0)
 
     def call(xbh, xbl):
         B = xbh.shape[0]
         out_sd = jax.ShapeDtypeStruct(xbh.shape, jnp.uint32)
-        spec_x = pl.BlockSpec(xshape, lambda c, b: (b, c, _I0, _I0),
-                              memory_space=pltpu.VMEM)
+        spec_x = pl.BlockSpec(xshape, xmap, memory_space=pltpu.VMEM)
         return pl.pallas_call(
-            functools.partial(_kernel_u64, left, size, other, ndig, bias,
+            functools.partial(_kernel_u64, left, size, oblk, ndig, bias,
                               strict),
-            grid=(m, B),
+            grid=(m, B, nob),
             in_specs=[
                 spec_x, spec_x,
                 pl.BlockSpec((1, ndig, size, size),
-                             lambda c, b: (c, _I0, _I0, _I0),
+                             lambda c, b, ob: (c, _I0, _I0, _I0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, size), lambda c, b: (c, _I0, _I0),
+                pl.BlockSpec((1, 1, size), lambda c, b, ob: (c, _I0, _I0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, size), lambda c, b: (c, _I0, _I0),
+                pl.BlockSpec((1, 1, size), lambda c, b, ob: (c, _I0, _I0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 4), lambda c, b: (c, _I0, _I0),
+                pl.BlockSpec((1, 1, 4), lambda c, b, ob: (c, _I0, _I0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 4), lambda c, b: (c, _I0, _I0),
+                pl.BlockSpec((1, 1, 4), lambda c, b, ob: (c, _I0, _I0),
                              memory_space=pltpu.SMEM),
             ],
             out_specs=[spec_x, spec_x],

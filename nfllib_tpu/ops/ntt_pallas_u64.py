@@ -42,7 +42,11 @@ _I0 = np.int32(0)
 
 
 def supports(ring) -> bool:
-    return ring.limb == "u64" and ring.degree >= 2 * LANES
+    """Degrees 256..65536: above that the per-channel working set exceeds
+    the chip's 16 MB scoped VMEM (measured: Mosaic rejects n=2^17 with a
+    24 MB stack allocation).  Larger degrees belong to the fused MXU split
+    path (ops/ntt_mxu_u64.py), which the dispatcher prefers anyway."""
+    return (ring.limb == "u64" and 2 * LANES <= ring.degree <= 65536)
 
 
 # ---------------------------------------------------------------------------

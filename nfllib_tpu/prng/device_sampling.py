@@ -8,23 +8,27 @@ fuses with downstream NTT/modops without host transfers.
 Byte-consumption contracts:
   * uniform / non_uniform / ZO reproduce the host tier EXACTLY for the same
     (key, nonce): same stream layout, same masking quirks, same values.
-  * gaussian uses the fixed-consumption branchless formulation (every sample
-    eats word_precision big-endian words; output = base + #{barriers <= r},
-    see prng/gaussian.py) — equal in DISTRIBUTION to the host walk, but a
-    different stream-consumption pattern, so the same (key, nonce) yields
-    different (equally distributed) values than the host tier.  hwt_dist is
-    host-only: exact reservoir sampling is inherently sequential
-    (core.hpp:352-391).
+  * gaussian has two device formulations:
+      - device_gaussian (default in the fused pipelines): fixed consumption
+        (every sample eats word_precision big-endian words) — equal in
+        DISTRIBUTION to the host walk but a different stream pattern;
+      - device_gaussian_exact: STREAM-EXACT — bit-identical outputs to the
+        host walk for the same (key, nonce), reproducing its variable
+        per-sample consumption and refill policy by pointer doubling.
+  * hwt_dist (device_hwt): distribution-equal with a DOCUMENTED consumption
+    difference (argsort-of-random-keys subset selection instead of the
+    host's sequential rejection reservoir, core.hpp:352-391).
 """
 from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..ring import Ring
 from .salsa20 import device_stream_words
-from .sampling import ZO_dist, gaussian, non_uniform, uniform
+from .sampling import ZO_dist, gaussian, hwt_dist, non_uniform, uniform
 
 
 def _stream_bytes(key: bytes, nonce: int, nbytes: int):
@@ -165,5 +169,182 @@ def device_sample(ring: Ring, mode, key: bytes, nonce: int):
         return device_zo(ring, key, nonce, mode)
     if isinstance(mode, gaussian):
         return device_gaussian(ring, key, nonce, mode)
-    raise TypeError(f"no device tier for sampler mode {mode!r} "
-                    "(hwt_dist is host-only)")
+    if isinstance(mode, hwt_dist):
+        return device_hwt(ring, key, nonce, mode)
+    raise TypeError(f"no device tier for sampler mode {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# stream-exact device Gaussian (the host walk's variable consumption,
+# parallelized by pointer doubling) and device hwt_dist
+# ---------------------------------------------------------------------------
+
+def _count_barriers_le(r16, bw_dev, nb):
+    """#{barriers <= r} per sample via branchless binary search over the
+    sorted barrier table.  r16: [s, wp] int32 big-endian words; bw_dev:
+    [nb, wp] int32."""
+    s, wp = r16.shape
+    lo = jnp.zeros((s,), dtype=jnp.int32)
+    hi = jnp.full((s,), nb, dtype=jnp.int32)
+    for _ in range(max(1, (nb + 1).bit_length())):
+        valid = lo < hi
+        mid = (lo + hi) >> 1
+        rows = jnp.take(bw_dev, mid, axis=0)
+        acc = jnp.zeros((s,), dtype=jnp.int8)
+        for j in range(wp):
+            sg = jnp.sign(r16[:, j] - rows[:, j]).astype(jnp.int8)
+            acc = jnp.where(acc != 0, acc, sg)
+        le = acc >= 0
+        lo = jnp.where(valid & le, mid + 1, lo)
+        hi = jnp.where(valid & ~le, mid, hi)
+    return lo
+
+
+def device_gaussian_exact(ring: Ring, key: bytes, nonce: int, mode: gaussian):
+    """STREAM-EXACT device Gaussian: same (key, nonce) => bit-identical
+    outputs to the host walk (prng/gaussian.py _get_noise_py, reference
+    FastGaussianNoise.hpp:478-595), including its data-dependent per-sample
+    word consumption (1, 2 or word_precision words) and its
+    refill-and-discard block policy.
+
+    The host walk is sequential; here it parallelizes by POINTER DOUBLING:
+    the per-position consumption c(q) depends only on the one or two words
+    at q, so the successor map g(q) = q + c(q) (with an absorbing sentinel
+    at the refill boundary) is a precomputable table per refill block, and
+    the sample-start positions are g's orbit of 0 — computed for all blocks
+    at once in ceil(log2(block_size)) gather rounds instead of one step per
+    sample.  Outputs are then a vectorized table/binary-search evaluation
+    at the start positions, exactly as the host short-circuits them."""
+    fg = mode.fg_prng
+    amp = int(mode.amplifier)
+    wp = fg.word_precision
+    rlen = ring.degree
+    innoise = int(np.float32(rlen) * np.float32(fg.innoise_multiplier))
+    # static block budget: each refill block yields at least
+    # floor((innoise - wp)/wp) samples (worst case wp words per sample)
+    s_min = max(1, (innoise - wp) // wp)
+    nblocks = -(-rlen // s_min)
+    ib = fg.in_bits
+    L = 1 << ib
+
+    # one keystream CALL per refill block, exactly like the host walk:
+    # Salsa20Stream.randombytes bumps the nonce once per call (the
+    # reference fastrandombytes quirk), so fill k reads the start of the
+    # (nonce + k) stream — blocks are NOT contiguous keystream bytes
+    per_fill = []
+    for k in range(nblocks):
+        if ib == 8:
+            per_fill.append(_stream_bytes(key, nonce + k, innoise))
+        else:
+            per_fill.append(_stream_limbs(key, nonce + k, innoise, 2))
+    words = jnp.stack(per_fill).astype(jnp.int32)      # [nblocks, innoise]
+
+    # per-position consumption -> successor table with sentinel = innoise
+    luf = jnp.asarray(fg.lu_flag)
+    luv = jnp.asarray(fg.lu_val.astype(np.int32))
+    w0 = words
+    fl0 = jnp.take(luf, w0)
+    if fg.lu_depth == 1:
+        c = jnp.where(fl0, wp, 1).astype(jnp.int32)
+    else:
+        # compact second-level tables: lu2 has entries only for FLAGGED
+        # first words (a dense [L, L] table would be 2^32 entries at
+        # in_bits=16); slot0 maps w0 -> compact row, row 0 is a dummy
+        flagged = [v0 for v0 in range(L) if fg.lu_flag[v0]]
+        V2 = np.zeros((len(flagged) + 1, L), dtype=np.int32)
+        F2 = np.zeros((len(flagged) + 1, L), dtype=bool)
+        slot = np.zeros(L, dtype=np.int32)
+        for i, v0 in enumerate(flagged):
+            val2, flag2, _ = fg.lu2[v0]
+            V2[i + 1] = val2
+            F2[i + 1] = flag2
+            slot[v0] = i + 1
+        V2d, F2d = jnp.asarray(V2), jnp.asarray(F2)
+        slot_d = jnp.asarray(slot)
+        w1 = jnp.roll(words, -1, axis=1)      # w1 at q = words[q+1]
+        f2 = F2d[jnp.take(slot_d, w0), w1]
+        c = jnp.where(~fl0, 1, jnp.where(f2, wp, 2)).astype(jnp.int32)
+    nxt = jax.lax.broadcasted_iota(jnp.int32, (nblocks, innoise), 1) + c
+    g = jnp.where(nxt + wp >= innoise, innoise, nxt)
+    g = jnp.concatenate([g, jnp.full((nblocks, 1), innoise, jnp.int32)],
+                        axis=1)               # absorbing sentinel column
+
+    # orbit of 0 under g, all blocks at once, by doubling
+    pos = jnp.zeros((nblocks, 1), dtype=jnp.int32)
+    F = g
+    jmax = min(innoise, rlen)                 # c >= 1 per sample
+    while pos.shape[1] < jmax:
+        pos = jnp.concatenate(
+            [pos, jnp.take_along_axis(F, pos, axis=1)], axis=1)
+        if pos.shape[1] < jmax:
+            F = jnp.take_along_axis(F, F, axis=1)
+    valid = pos < innoise                     # [nblocks, jmax]
+
+    # outputs at every candidate start position (vectorized)
+    qs = jnp.minimum(pos, innoise - wp)       # clamp sentinel reads
+    w0s = jnp.take_along_axis(words, qs, axis=1)
+    fl0s = jnp.take(luf, w0s)
+    base = jnp.take(luv, w0s)                 # lu_val[w0]
+    rwords = jnp.stack(
+        [jnp.take_along_axis(words, qs + j, axis=1) for j in range(wp)],
+        axis=-1)                              # [nblocks, jmax, wp]
+    bw = np.asarray(fg.barrier_words).astype(np.int32)
+    cnt = _count_barriers_le(rwords.reshape(-1, wp), jnp.asarray(bw),
+                             bw.shape[0]).reshape(w0s.shape)
+    full = jnp.int32(fg.base_value) + cnt     # full-precision cmp result
+    if fg.lu_depth == 1:
+        out = jnp.where(fl0s, full, base)
+    else:
+        w1s = jnp.take_along_axis(words, qs + 1, axis=1)
+        s0 = jnp.take(slot_d, w0s)
+        f2s = F2d[s0, w1s]
+        v2s = V2d[s0, w1s]
+        out = jnp.where(~fl0s, base, jnp.where(f2s, full, v2s))
+
+    # first rlen valid samples in block-major order
+    flat_valid = valid.reshape(-1)
+    flat_out = out.reshape(-1).astype(jnp.int64) * amp
+    idx = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
+    tgt = jnp.where(flat_valid & (idx < rlen), idx, rlen)
+    noise = jnp.zeros((rlen,), dtype=jnp.int64).at[tgt].set(
+        flat_out, mode="drop")
+
+    p_col = jnp.asarray(np.array([int(p) for p in ring.moduli],
+                                 dtype=np.int64).reshape(-1, 1))
+    vals = jnp.where(noise[None, :] < 0, p_col + noise[None, :],
+                     noise[None, :])
+    return vals.astype(ring.dtype)
+
+
+def device_hwt(ring: Ring, key: bytes, nonce: int, mode):
+    """Exact-Hamming-weight +-1 polynomial on device (reference
+    core.hpp:352-391 semantics: h positions hit, signs from bit 1 of one
+    64-bit word per hit, negatives encoded as p - 1).
+
+    CONSUMPTION DIFFERENCE (documented): the host/reference walk is a
+    sequential rejection-sampled reservoir; here the h-subset comes from a
+    random-key argsort (top-h of n 64-bit keys = a uniform h-subset, key
+    collisions ~ n^2/2^64), consuming n + h words instead of the host's
+    variable count — distribution-equal, not stream-exact."""
+    h = int(mode.hwt)
+    n = ring.degree
+    if not 0 < h <= n:
+        raise ValueError("hwt must be in (0, degree]")
+    keys64 = _stream_limbs(key, nonce, n + h, 8)
+    order = jnp.argsort(keys64[:n])
+    hit_positions = order[:h]
+    hit = jnp.zeros((n,), dtype=bool).at[hit_positions].set(True)
+    # signs: one word per hit, assigned in ascending position order like
+    # the host (hitted.sort() before the sign draw)
+    rank = jnp.cumsum(hit.astype(jnp.int32)) - 1      # position -> j
+    signs = keys64[n:]
+    bit = jnp.where(hit, (jnp.take(signs, jnp.clip(rank, 0, h - 1))
+                          & jnp.uint64(2)).astype(jnp.uint64),
+                    jnp.uint64(0))
+    lp = ring.limb_params
+    p_col = jnp.asarray(np.array([int(p) - 1 for p in ring.moduli],
+                                 dtype=np.uint64).reshape(-1, 1))
+    vals = jnp.where(hit[None, :], p_col + bit[None, :],
+                     jnp.zeros_like(p_col))
+    mask = jnp.asarray((1 << lp.repr_bits) - 1, dtype=jnp.uint64)
+    return (vals & mask).astype(lp.dtype)

@@ -121,3 +121,91 @@ def test_poly_sample_on_device(fg):
     a = nfl.Poly.sample_on_device(ring, nfl.uniform(), KEY, 1)
     b = nfl.Poly.sample(ring, nfl.uniform(), Salsa20Stream(KEY, nonce=1))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# stream-exact device Gaussian + device hwt (round-2 VERDICT item 7)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("cfg", [
+    dict(sigma=20.0, security=128, samples=256, in_bits=8, lu_depth=2),
+    dict(sigma=3.2, security=80, samples=256, in_bits=8, lu_depth=1),
+    dict(sigma=20.0, security=128, samples=256, in_bits=16, lu_depth=2),
+])
+def test_device_gaussian_exact_matches_host_walk(cfg):
+    """device_gaussian_exact is bit-identical to the host walk (the
+    reference's FastGaussianNoise.hpp:478-595 semantics) for the same
+    (key, nonce), across lu depths and both in_bits flavors."""
+    from nfllib_tpu.prng.gaussian import FastGaussianNoise
+    from nfllib_tpu.prng import sampling
+
+    fg = FastGaussianNoise(**cfg)
+    ring = nfl.Ring("u32", 256, 2)
+    for nonce in (0, 5):
+        for ampl in (1, 2):
+            mode = sampling.gaussian(fg, ampl)
+            st = Salsa20Stream(KEY)
+            st.nonce = nonce
+            want = sampling.sample_gaussian(ring, st, mode)
+            got = np.asarray(
+                dev.device_gaussian_exact(ring, KEY, nonce, mode))
+            np.testing.assert_array_equal(got, want)
+
+
+def test_device_gaussian_exact_refill_crossing():
+    """The exact walk reproduces the host's refill policy (each fill is a
+    fresh nonce; leftover words discarded) across multiple refills."""
+    from nfllib_tpu.prng.gaussian import FastGaussianNoise
+    from nfllib_tpu.prng import sampling
+
+    fg = FastGaussianNoise(sigma=250.0, security=128, samples=2048)
+    ring = nfl.Ring("u64", 2048, 2)
+    mode = sampling.gaussian(fg, 2)
+    st = Salsa20Stream(KEY)
+    want = sampling.sample_gaussian(ring, st, mode)
+    got = np.asarray(dev.device_gaussian_exact(ring, KEY, 0, mode))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_device_hwt_structure():
+    """device_hwt: exactly h hits, reference encoding (+1 as the
+    non-canonical p+1, -1 as p-1, core.hpp:352-391), consistent positions
+    and signs across channels, nonce-sensitive."""
+    from nfllib_tpu.prng.sampling import hwt_dist
+
+    ring = nfl.Ring("u32", 512, 2)
+    h = 64
+    got = np.asarray(dev.device_hwt(ring, KEY, 0, hwt_dist(h)))
+    for cm in range(2):
+        p = int(ring.moduli[cm])
+        nz = got[cm][got[cm] != 0]
+        assert len(nz) == h
+        assert set(int(v) for v in nz) <= {p - 1, p + 1}
+    pos0 = np.nonzero(got[0])[0]
+    pos1 = np.nonzero(got[1])[0]
+    np.testing.assert_array_equal(pos0, pos1)
+    p0, p1 = int(ring.moduli[0]), int(ring.moduli[1])
+    np.testing.assert_array_equal(got[0][pos0] == p0 + 1,
+                                  got[1][pos1] == p1 + 1)
+    got2 = np.asarray(dev.device_hwt(ring, KEY, 1, hwt_dist(h)))
+    assert not np.array_equal(got, got2)
+    # dispatcher routes hwt to the device tier now
+    got3 = np.asarray(dev.device_sample(ring, hwt_dist(h), KEY, 0))
+    np.testing.assert_array_equal(got3, got)
+
+
+def test_device_hwt_subset_uniformity():
+    """Coarse acceptance: across many nonces every position is hit with
+    frequency ~ h/n (chi-square-ish bound)."""
+    from nfllib_tpu.prng.sampling import hwt_dist
+
+    ring = nfl.Ring("u32", 64, 1)
+    h = 8
+    trials = 200
+    counts = np.zeros(64)
+    for nonce in range(trials):
+        got = np.asarray(dev.device_hwt(ring, KEY, nonce, hwt_dist(h)))
+        counts += got[0] != 0
+    expected = trials * h / 64
+    sd = np.sqrt(trials * (h / 64) * (1 - h / 64))
+    assert np.all(np.abs(counts - expected) < 6 * sd), counts
