@@ -78,10 +78,11 @@ def _other_block(limb, size, other):
 
 
 def _bias_bits(limb, size):
-    """|G_k| <= ndig * 2^14 * size; the uniform group bias is the next
-    power of two (so biased groups g' stay <= 2*bias, within the carry-free
-    pack's slack analysis)."""
-    return int(np.ceil(np.log2(_ndig(limb) * size))) + 14
+    """Per-PARTIAL bias: each (a, b) dot's |S_ab| <= 128^2 * size = 2^14 *
+    size, so biasing every partial product by the next power of two keeps
+    the incremental pack additions nonnegative; the total over-count has
+    the closed form bias * S^2 (S = sum_b 2^(8b)), folded into corr."""
+    return int(np.ceil(np.log2(size))) + 14
 
 
 def _balanced_digits_np(v, ndig):
@@ -153,7 +154,7 @@ def _custom_tables(ring, provider: str, size: int, left: bool):
     bias = 1 << _bias_bits(ring.limb, size)
     ngroups = 2 * ndig - 1
     S = sum(1 << (8 * b) for b in range(ndig))
-    bias_sum = bias * sum(1 << (8 * k) for k in range(ngroups))
+    bias_sum = bias * S * S          # one bias per (a, b) partial product
 
     mats = _MATRIX_PROVIDERS[provider](ring, size)
     planes = np.empty((m, ndig, size, size), dtype=np.int8)
@@ -179,7 +180,17 @@ def _custom_tables(ring, provider: str, size: int, left: bool):
 
 
 # ---------------------------------------------------------------------------
-# u32 kernels
+# kernels: one digit plane per grid step, exact carry-tracked accumulation
+#
+# The W digit-plane table is the VMEM limiter (ndig * size^2 int8 = 8 MB at
+# u64/size 1024, double-buffered by the pipeline).  The plane index `a` is
+# therefore the INNERMOST grid dimension: each step holds one [size, size]
+# plane (1 MB), runs its ndig dots against the offset-byte digits of x, and
+# folds the biased partial products into persistent VMEM scratch
+# accumulators; the final step finishes the two-part Barrett recombination
+# and writes the output block.  Accumulation is EXACT multi-word arithmetic
+# with carry tracking (not the single-chip kernels' floored-shift shortcut,
+# whose slack budget would not survive per-partial folding).
 # ---------------------------------------------------------------------------
 
 def _digitize_offset_u32(x, ndig):
@@ -188,11 +199,14 @@ def _digitize_offset_u32(x, ndig):
     return [((xi >> (8 * a)) - off).astype(jnp.int8) for a in range(ndig)]
 
 
-def _finish_barrett_u32(lo, a28, m60, p):
-    """One Barrett step on the incrementally folded (lo, a28) pack -> < 4p
-    (the ops/ntt_mxu._recombine_groups carry-free formulation)."""
-    q = modops._mulhi_u32(a28, m60)
-    return lo - q * p
+def _digitize_offset_u64(xp, ndig):
+    hi, lo = xp
+    off = jnp.int32(128)
+    digs = [((lo >> (8 * a)).astype(jnp.int32) - off).astype(jnp.int8)
+            for a in range(4)]
+    digs += [((hi >> (8 * a)).astype(jnp.int32) - off).astype(jnp.int8)
+             for a in range(ndig - 4)]
+    return digs
 
 
 def _combine_parts_u32(r_lo, r_hi, chi, chis, corr, p, strict):
@@ -209,119 +223,6 @@ def _combine_parts_u32(r_lo, r_hi, chi, chis, corr, p, strict):
     return r
 
 
-def _kernel_u32(left, size, other, ndig, bias, strict,
-                x_ref, w_ref, corr_ref, sh_ref, p_ref, o_ref):
-    p = p_ref[0, 0, 0]
-    m60 = sh_ref[0, 0, 0]
-    chi = sh_ref[0, 0, 1]
-    chis = sh_ref[0, 0, 2]
-    shape = (size, other) if left else (other, size)
-    x = x_ref[...].reshape(shape).astype(jnp.uint32)
-    xd = _digitize_offset_u32(x, ndig)
-    bconst = jnp.int32(bias)
-    # k-ordered dots with INCREMENTAL pack folding: only the four pack
-    # accumulators stay live across groups (materializing all 2*ndig-1
-    # group buffers would blow VMEM at size 512+)
-    packs = [[None, None], [None, None]]        # [part][lo, a28]
-    for k in range(2 * ndig - 1):
-        acc = None
-        for a in range(ndig):
-            b = k - a
-            if not 0 <= b < ndig:
-                continue
-            if left:
-                s = jax.lax.dot_general(
-                    w_ref[0, a], xd[b], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-            else:
-                s = jax.lax.dot_general(
-                    xd[b], w_ref[0, a], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-            acc = s if acc is None else acc + s
-        g = (acc + bconst).astype(jnp.uint32)
-        part, kk = (0, k) if k < ndig else (1, k - ndig)
-        lo, a28 = packs[part]
-        lo = g if lo is None else lo + (g << (8 * kk))
-        if kk:
-            t = g >> (28 - 8 * kk)
-            a28 = t if a28 is None else a28 + t
-        packs[part] = [lo, a28]
-    r_lo = _finish_barrett_u32(packs[0][0], packs[0][1], m60, p)
-    r_hi = _finish_barrett_u32(packs[1][0], packs[1][1], m60, p)
-    corr = corr_ref[0] if not left else corr_ref[0].reshape(size, 1)
-    out = _combine_parts_u32(r_lo, r_hi, chi, chis, corr, p, strict)
-    o_ref[...] = out.reshape((1, 1) + out.shape).astype(o_ref.dtype)
-
-
-@functools.lru_cache(maxsize=None)
-def _build_u32(ring, size, provider, left, other, interpret, strict=True):
-    planes, corr, consts, bias, ndig = _custom_tables(ring, provider, size,
-                                                      left)
-    m = ring.nmoduli
-    sh = np.zeros((m, 1, 3), dtype=np.uint32)
-    sh[:, 0, 0] = consts[:, 0]
-    sh[:, 0, 1] = consts[:, 1]
-    sh[:, 0, 2] = consts[:, 2]
-    corr32 = corr.astype(np.uint32).reshape(m, 1, size)
-    p_vec = ring.context().p.reshape(m, 1, 1).astype(np.uint32)
-    oblk = _other_block(ring.limb, size, other)
-    nob = other // oblk
-    if left:
-        xshape = (1, 1, size, oblk)
-        xmap = lambda c, b, ob: (b, c, _I0, ob)
-    else:
-        xshape = (1, 1, oblk, size)
-        xmap = lambda c, b, ob: (b, c, ob, _I0)
-
-    def call(xb):
-        B = xb.shape[0]
-        return pl.pallas_call(
-            functools.partial(_kernel_u32, left, size, oblk, ndig, bias,
-                              strict),
-            grid=(m, B, nob),
-            in_specs=[
-                pl.BlockSpec(xshape, xmap, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ndig, size, size),
-                             lambda c, b, ob: (c, _I0, _I0, _I0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, size), lambda c, b, ob: (c, _I0, _I0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 3), lambda c, b, ob: (c, _I0, _I0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 1), lambda c, b, ob: (c, _I0, _I0),
-                             memory_space=pltpu.SMEM),
-            ],
-            out_specs=pl.BlockSpec(xshape, xmap, memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct(xb.shape, ring.dtype),
-            interpret=interpret,
-        )(xb, jnp.asarray(planes), jnp.asarray(corr32), jnp.asarray(sh),
-          jnp.asarray(p_vec))
-
-    return call
-
-
-# ---------------------------------------------------------------------------
-# u64 kernels (pair arithmetic)
-# ---------------------------------------------------------------------------
-
-def _digitize_offset_u64(xp, ndig):
-    hi, lo = xp
-    off = jnp.int32(128)
-    digs = [((lo >> (8 * a)).astype(jnp.int32) - off).astype(jnp.int8)
-            for a in range(4)]
-    digs += [((hi >> (8 * a)).astype(jnp.int32) - off).astype(jnp.int8)
-             for a in range(ndig - 4)]
-    return digs
-
-
-def _finish_barrett_u64(w0, w1, a60, mbar, p):
-    """One Barrett step on the incrementally folded pair pack -> r < 4p
-    (the ops/ntt_mxu_u64._recombine64 carry-free formulation)."""
-    z = jnp.zeros_like(a60)
-    q = p_mulhi((z, a60), mbar)[1]
-    return p_sub((w1, w0), p_mullo((z, q), p))
-
-
 def _combine_parts_u64(r_lo, r_hi, chi, chis, corr, p, strict):
     two_p = p_add(p, p)
     r_lo = p_select(p_ge(r_lo, two_p), p_sub(r_lo, two_p), r_lo)
@@ -335,68 +236,200 @@ def _combine_parts_u64(r_lo, r_hi, chi, chis, corr, p, strict):
     return r
 
 
+def _kernel_u32(left, size, other, ndig, bias, strict,
+                x_ref, w_ref, corr_ref, sh_ref, p_ref, o_ref, acc_ref):
+    a = pl.program_id(3)
+    p = p_ref[0, 0, 0]
+    shape = (size, other) if left else (other, size)
+    x = x_ref[...].reshape(shape).astype(jnp.uint32)
+    xd = _digitize_offset_u32(x, ndig)
+    bconst = jnp.int32(bias)
+
+    @pl.when(a == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # fold this plane's ndig biased partials into (lo, hi) per part,
+    # carries tracked exactly
+    for b in range(ndig):
+        if left:
+            s = jax.lax.dot_general(
+                w_ref[0, 0], xd[b], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        else:
+            s = jax.lax.dot_general(
+                xd[b], w_ref[0, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        g = (s + bconst).astype(jnp.uint32)      # per-partial bias
+        # k = a + b is traced (a is a grid index): branch on residue via
+        # where-selects over the static b and the dynamic part/shift
+        for apos in range(ndig):                 # static unroll over a
+            @pl.when(a == apos)
+            def _(apos=apos, g=g, b=b):
+                k = apos + b
+                part, kk = (0, k) if k < ndig else (1, k - ndig)
+                lo = acc_ref[2 * part]
+                hi = acc_ref[2 * part + 1]
+                add = g if kk == 0 else (g << (8 * kk))
+                lon = lo + add
+                carry = (lon < lo).astype(jnp.uint32)
+                hin = hi + carry
+                if kk:
+                    hin = hin + (g >> (32 - 8 * kk))
+                acc_ref[2 * part] = lon
+                acc_ref[2 * part + 1] = hin
+
+    @pl.when(a == ndig - 1)
+    def _():
+        m60 = sh_ref[0, 0, 0]
+        chi = sh_ref[0, 0, 1]
+        chis = sh_ref[0, 0, 2]
+        rs = []
+        for part in range(2):
+            lo = acc_ref[2 * part]
+            hi = acc_ref[2 * part + 1]
+            a28 = (hi << 4) | (lo >> 28)         # exact floor(v/2^28)
+            q = modops._mulhi_u32(a28, m60)
+            rs.append(lo - q * p)                # < 3p (exact a28)
+        corr = corr_ref[0] if not left else corr_ref[0].reshape(size, 1)
+        out = _combine_parts_u32(rs[0], rs[1], chi, chis, corr, p, strict)
+        o_ref[...] = out.reshape((1, 1) + shape).astype(o_ref.dtype)
+
+
 def _kernel_u64(left, size, other, ndig, bias, strict,
                 xh_ref, xl_ref, w_ref, ch_ref, cl_ref, smh_ref, sml_ref,
-                oh_ref, ol_ref):
+                oh_ref, ol_ref, acc_ref):
+    a = pl.program_id(3)
     p = (smh_ref[0, 0, 0], sml_ref[0, 0, 0])
-    mbar = (smh_ref[0, 0, 1], sml_ref[0, 0, 1])
-    chi = (smh_ref[0, 0, 2], sml_ref[0, 0, 2])
-    chis = (smh_ref[0, 0, 3], sml_ref[0, 0, 3])
     shape = (size, other) if left else (other, size)
     x = (xh_ref[...].reshape(shape), xl_ref[...].reshape(shape))
     xd = _digitize_offset_u64(x, ndig)
     bconst = jnp.int32(bias)
-    # k-ordered dots with INCREMENTAL pair-pack folding (see _kernel_u32):
-    # per part only (w0, w1, a60) stay live, not 15 group buffers
-    packs = [[None, None, None], [None, None, None]]
-    for k in range(2 * ndig - 1):
-        acc = None
-        for a in range(ndig):
-            b = k - a
-            if not 0 <= b < ndig:
-                continue
-            if left:
-                s = jax.lax.dot_general(
-                    w_ref[0, a], xd[b], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-            else:
-                s = jax.lax.dot_general(
-                    xd[b], w_ref[0, a], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-            acc = s if acc is None else acc + s
-        g = (acc + bconst).astype(jnp.uint32)
-        part, kk = (0, k) if k < ndig else (1, k - ndig)
-        w0, w1, a60 = packs[part]
-        if kk < 4:
-            add = g if kk == 0 else (g << (8 * kk))
-            w0n = add if w0 is None else w0 + add
-            if w0 is not None:
-                carry = (w0n < w0).astype(jnp.uint32)
-                w1 = carry if w1 is None else w1 + carry
-            if kk:
-                spill = g >> (32 - 8 * kk)
-                w1 = spill if w1 is None else w1 + spill
-            w0 = w0n
+
+    @pl.when(a == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for b in range(ndig):
+        if left:
+            s = jax.lax.dot_general(
+                w_ref[0, 0], xd[b], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
         else:
-            w1 = (w1 + (g if kk == 4 else (g << (8 * (kk - 4)))))
-            t = g >> (60 - 8 * kk)
-            a60 = t if a60 is None else a60 + t
-        packs[part] = [w0, w1, a60]
-    outs = []
-    for part in range(2):
-        w0, w1, a60 = packs[part]
-        if w1 is None:
-            w1 = jnp.zeros_like(w0)
-        if a60 is None:
-            a60 = jnp.zeros_like(w0)
-        outs.append(_finish_barrett_u64(w0, w1, a60, mbar, p))
+            s = jax.lax.dot_general(
+                xd[b], w_ref[0, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        g = (s + bconst).astype(jnp.uint32)
+        for apos in range(ndig):
+            @pl.when(a == apos)
+            def _(apos=apos, g=g, b=b):
+                k = apos + b
+                part, kk = (0, k) if k < ndig else (1, k - ndig)
+                w0 = acc_ref[3 * part]
+                w1 = acc_ref[3 * part + 1]
+                w2 = acc_ref[3 * part + 2]
+                if kk < 4:
+                    add = g if kk == 0 else (g << (8 * kk))
+                    w0n = w0 + add
+                    c0 = (w0n < w0).astype(jnp.uint32)
+                    inc1 = c0 if kk == 0 else c0 + (g >> (32 - 8 * kk))
+                    w1n = w1 + inc1
+                    c1 = (w1n < w1).astype(jnp.uint32)
+                    acc_ref[3 * part] = w0n
+                    acc_ref[3 * part + 1] = w1n
+                    acc_ref[3 * part + 2] = w2 + c1
+                else:
+                    j = kk - 4
+                    add = g if j == 0 else (g << (8 * j))
+                    w1n = w1 + add
+                    c1 = (w1n < w1).astype(jnp.uint32)
+                    inc2 = c1 if j == 0 else c1 + (g >> (32 - 8 * j))
+                    acc_ref[3 * part + 1] = w1n
+                    acc_ref[3 * part + 2] = w2 + inc2
+
+    @pl.when(a == ndig - 1)
+    def _():
+        mbar = (smh_ref[0, 0, 1], sml_ref[0, 0, 1])
+        chi = (smh_ref[0, 0, 2], sml_ref[0, 0, 2])
+        chis = (smh_ref[0, 0, 3], sml_ref[0, 0, 3])
+        rs = []
+        for part in range(2):
+            w0 = acc_ref[3 * part]
+            w1 = acc_ref[3 * part + 1]
+            w2 = acc_ref[3 * part + 2]
+            a60 = (w2 << 4) | (w1 >> 28)         # exact floor(v/2^60)
+            z = jnp.zeros_like(a60)
+            q = p_mulhi((z, a60), mbar)[1]
+            rs.append(p_sub((w1, w0), p_mullo((z, q), p)))   # < 3p
+        if left:
+            corr = (ch_ref[0].reshape(size, 1), cl_ref[0].reshape(size, 1))
+        else:
+            corr = (ch_ref[0], cl_ref[0])
+        out = _combine_parts_u64(rs[0], rs[1], chi, chis, corr, p, strict)
+        oh_ref[...] = out[0].reshape((1, 1) + shape)
+        ol_ref[...] = out[1].reshape((1, 1) + shape)
+
+
+def _other_block_grid(limb, size, other):
+    """(oblk, nob): block the non-transformed axis so the live working set
+    (x block + digit planes + scratch accumulators + dot buffer, ~14
+    i32-equivalent [size, oblk] arrays) stays ~4 MB next to the single
+    resident [size, size] plane."""
+    budget = 4 << 20
+    oblk = other
+    while oblk > 128 and 14 * 4 * size * oblk > budget:
+        oblk //= 2
+    return oblk, other // oblk
+
+
+@functools.lru_cache(maxsize=None)
+def _build_u32(ring, size, provider, left, other, interpret, strict=True):
+    planes, corr, consts, bias, ndig = _custom_tables(ring, provider, size,
+                                                      left)
+    m = ring.nmoduli
+    sh = np.zeros((m, 1, 3), dtype=np.uint32)
+    sh[:, 0, 0] = consts[:, 0]
+    sh[:, 0, 1] = consts[:, 1]
+    sh[:, 0, 2] = consts[:, 2]
+    corr32 = corr.astype(np.uint32).reshape(m, 1, size)
+    p_vec = ring.context().p.reshape(m, 1, 1).astype(np.uint32)
+    oblk, nob = _other_block_grid(ring.limb, size, other)
     if left:
-        corr = (ch_ref[0].reshape(size, 1), cl_ref[0].reshape(size, 1))
+        xshape = (1, 1, size, oblk)
+        xmap = lambda c, b, ob, a: (b, c, _I0, ob)
+        accshape = (4, size, oblk)
     else:
-        corr = (ch_ref[0], cl_ref[0])
-    out = _combine_parts_u64(outs[0], outs[1], chi, chis, corr, p, strict)
-    oh_ref[...] = out[0].reshape((1, 1) + shape)
-    ol_ref[...] = out[1].reshape((1, 1) + shape)
+        xshape = (1, 1, oblk, size)
+        xmap = lambda c, b, ob, a: (b, c, ob, _I0)
+        accshape = (4, oblk, size)
+
+    def call(xb):
+        B = xb.shape[0]
+        return pl.pallas_call(
+            functools.partial(_kernel_u32, left, size, oblk, ndig, bias,
+                              strict),
+            grid=(m, B, nob, ndig),
+            in_specs=[
+                pl.BlockSpec(xshape, xmap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, size, size),
+                             lambda c, b, ob, a: (c, a, _I0, _I0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, size),
+                             lambda c, b, ob, a: (c, _I0, _I0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 3), lambda c, b, ob, a: (c, _I0, _I0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1), lambda c, b, ob, a: (c, _I0, _I0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(xshape, xmap, memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(xb.shape, ring.dtype),
+            scratch_shapes=[pltpu.VMEM(accshape, jnp.uint32)],
+            interpret=interpret,
+        )(xb, jnp.asarray(planes), jnp.asarray(corr32), jnp.asarray(sh),
+          jnp.asarray(p_vec))
+
+    return call
 
 
 @functools.lru_cache(maxsize=None)
@@ -416,14 +449,15 @@ def _build_u64(ring, size, provider, left, other, interpret, strict=True):
         sm[cm, 0, 3] = (chi << 64) // p
     smh, sml = _split(sm)
     ch, cl = _split(corr.reshape(m, 1, size).astype(object))
-    oblk = _other_block(ring.limb, size, other)
-    nob = other // oblk
+    oblk, nob = _other_block_grid(ring.limb, size, other)
     if left:
         xshape = (1, 1, size, oblk)
-        xmap = lambda c, b, ob: (b, c, _I0, ob)
+        xmap = lambda c, b, ob, a: (b, c, _I0, ob)
+        accshape = (6, size, oblk)
     else:
         xshape = (1, 1, oblk, size)
-        xmap = lambda c, b, ob: (b, c, ob, _I0)
+        xmap = lambda c, b, ob, a: (b, c, ob, _I0)
+        accshape = (6, oblk, size)
 
     def call(xbh, xbl):
         B = xbh.shape[0]
@@ -432,23 +466,26 @@ def _build_u64(ring, size, provider, left, other, interpret, strict=True):
         return pl.pallas_call(
             functools.partial(_kernel_u64, left, size, oblk, ndig, bias,
                               strict),
-            grid=(m, B, nob),
+            grid=(m, B, nob, ndig),
             in_specs=[
                 spec_x, spec_x,
-                pl.BlockSpec((1, ndig, size, size),
-                             lambda c, b, ob: (c, _I0, _I0, _I0),
+                pl.BlockSpec((1, 1, size, size),
+                             lambda c, b, ob, a: (c, a, _I0, _I0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, size), lambda c, b, ob: (c, _I0, _I0),
+                pl.BlockSpec((1, 1, size),
+                             lambda c, b, ob, a: (c, _I0, _I0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, size), lambda c, b, ob: (c, _I0, _I0),
+                pl.BlockSpec((1, 1, size),
+                             lambda c, b, ob, a: (c, _I0, _I0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 4), lambda c, b, ob: (c, _I0, _I0),
+                pl.BlockSpec((1, 1, 4), lambda c, b, ob, a: (c, _I0, _I0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 4), lambda c, b, ob: (c, _I0, _I0),
+                pl.BlockSpec((1, 1, 4), lambda c, b, ob, a: (c, _I0, _I0),
                              memory_space=pltpu.SMEM),
             ],
             out_specs=[spec_x, spec_x],
             out_shape=[out_sd, out_sd],
+            scratch_shapes=[pltpu.VMEM(accshape, jnp.uint32)],
             interpret=interpret,
         )(xbh, xbl, jnp.asarray(planes), jnp.asarray(ch), jnp.asarray(cl),
           jnp.asarray(smh), jnp.asarray(sml))
