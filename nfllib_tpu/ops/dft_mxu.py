@@ -236,11 +236,12 @@ def _combine_parts_u64(r_lo, r_hi, chi, chis, corr, p, strict):
     return r
 
 
-def _kernel_u32(left, size, other, ndig, bias, strict,
+def _kernel_u32(left, size, other, rblk, ndig, bias, strict,
                 x_ref, w_ref, corr_ref, sh_ref, p_ref, o_ref, acc_ref):
-    a = pl.program_id(3)
+    a = pl.program_id(4)
     p = p_ref[0, 0, 0]
     shape = (size, other) if left else (other, size)
+    oshape = (rblk, other) if left else (other, rblk)
     x = x_ref[...].reshape(shape).astype(jnp.uint32)
     xd = _digitize_offset_u32(x, ndig)
     bconst = jnp.int32(bias)
@@ -291,17 +292,18 @@ def _kernel_u32(left, size, other, ndig, bias, strict,
             a28 = (hi << 4) | (lo >> 28)         # exact floor(v/2^28)
             q = modops._mulhi_u32(a28, m60)
             rs.append(lo - q * p)                # < 3p (exact a28)
-        corr = corr_ref[0] if not left else corr_ref[0].reshape(size, 1)
+        corr = corr_ref[0] if not left else corr_ref[0].reshape(rblk, 1)
         out = _combine_parts_u32(rs[0], rs[1], chi, chis, corr, p, strict)
-        o_ref[...] = out.reshape((1, 1) + shape).astype(o_ref.dtype)
+        o_ref[...] = out.reshape((1, 1) + oshape).astype(o_ref.dtype)
 
 
-def _kernel_u64(left, size, other, ndig, bias, strict,
+def _kernel_u64(left, size, other, rblk, ndig, bias, strict,
                 xh_ref, xl_ref, w_ref, ch_ref, cl_ref, smh_ref, sml_ref,
                 oh_ref, ol_ref, acc_ref):
-    a = pl.program_id(3)
+    a = pl.program_id(4)
     p = (smh_ref[0, 0, 0], sml_ref[0, 0, 0])
     shape = (size, other) if left else (other, size)
+    oshape = (rblk, other) if left else (other, rblk)
     x = (xh_ref[...].reshape(shape), xl_ref[...].reshape(shape))
     xd = _digitize_offset_u64(x, ndig)
     bconst = jnp.int32(bias)
@@ -362,12 +364,12 @@ def _kernel_u64(left, size, other, ndig, bias, strict,
             q = p_mulhi((z, a60), mbar)[1]
             rs.append(p_sub((w1, w0), p_mullo((z, q), p)))   # < 3p
         if left:
-            corr = (ch_ref[0].reshape(size, 1), cl_ref[0].reshape(size, 1))
+            corr = (ch_ref[0].reshape(rblk, 1), cl_ref[0].reshape(rblk, 1))
         else:
             corr = (ch_ref[0], cl_ref[0])
         out = _combine_parts_u64(rs[0], rs[1], chi, chis, corr, p, strict)
-        oh_ref[...] = out[0].reshape((1, 1) + shape)
-        ol_ref[...] = out[1].reshape((1, 1) + shape)
+        oh_ref[...] = out[0].reshape((1, 1) + oshape)
+        ol_ref[...] = out[1].reshape((1, 1) + oshape)
 
 
 def _other_block_grid(limb, size, other):
@@ -382,6 +384,17 @@ def _other_block_grid(limb, size, other):
     return oblk, other // oblk
 
 
+def _row_block(size, oblk):
+    """(rblk, nrb): additionally block the W/output rows (left; columns on
+    the right side) at the largest sizes — at size 1024 the x block, digit
+    planes, scratch and dot temporaries around a full-size output tile
+    still overflow the 16 MB scoped VMEM (measured 18.5 MB on chip)."""
+    rblk = size
+    while rblk > 256 and 14 * 4 * rblk * oblk > (2 << 20):
+        rblk //= 2
+    return rblk, size // rblk
+
+
 @functools.lru_cache(maxsize=None)
 def _build_u32(ring, size, provider, left, other, interpret, strict=True):
     planes, corr, consts, bias, ndig = _custom_tables(ring, provider, size,
@@ -394,35 +407,44 @@ def _build_u32(ring, size, provider, left, other, interpret, strict=True):
     corr32 = corr.astype(np.uint32).reshape(m, 1, size)
     p_vec = ring.context().p.reshape(m, 1, 1).astype(np.uint32)
     oblk, nob = _other_block_grid(ring.limb, size, other)
+    rblk, nrb = _row_block(size, oblk)
     if left:
         xshape = (1, 1, size, oblk)
-        xmap = lambda c, b, ob, a: (b, c, _I0, ob)
-        accshape = (4, size, oblk)
+        xmap = lambda c, b, ob, rb, a: (b, c, _I0, ob)
+        oshape = (1, 1, rblk, oblk)
+        omap = lambda c, b, ob, rb, a: (b, c, rb, ob)
+        wshape = (1, 1, rblk, size)
+        wmap = lambda c, b, ob, rb, a: (c, a, rb, _I0)
+        accshape = (4, rblk, oblk)
     else:
         xshape = (1, 1, oblk, size)
-        xmap = lambda c, b, ob, a: (b, c, ob, _I0)
-        accshape = (4, oblk, size)
+        xmap = lambda c, b, ob, rb, a: (b, c, ob, _I0)
+        oshape = (1, 1, oblk, rblk)
+        omap = lambda c, b, ob, rb, a: (b, c, ob, rb)
+        wshape = (1, 1, size, rblk)
+        wmap = lambda c, b, ob, rb, a: (c, a, _I0, rb)
+        accshape = (4, oblk, rblk)
 
     def call(xb):
         B = xb.shape[0]
         return pl.pallas_call(
-            functools.partial(_kernel_u32, left, size, oblk, ndig, bias,
-                              strict),
-            grid=(m, B, nob, ndig),
+            functools.partial(_kernel_u32, left, size, oblk, rblk, ndig,
+                              bias, strict),
+            grid=(m, B, nob, nrb, ndig),
             in_specs=[
                 pl.BlockSpec(xshape, xmap, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, size, size),
-                             lambda c, b, ob, a: (c, a, _I0, _I0),
+                pl.BlockSpec(wshape, wmap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, rblk),
+                             lambda c, b, ob, rb, a: (c, _I0, rb),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, size),
-                             lambda c, b, ob, a: (c, _I0, _I0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 3), lambda c, b, ob, a: (c, _I0, _I0),
+                pl.BlockSpec((1, 1, 3),
+                             lambda c, b, ob, rb, a: (c, _I0, _I0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 1), lambda c, b, ob, a: (c, _I0, _I0),
+                pl.BlockSpec((1, 1, 1),
+                             lambda c, b, ob, rb, a: (c, _I0, _I0),
                              memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec(xshape, xmap, memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec(oshape, omap, memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(xb.shape, ring.dtype),
             scratch_shapes=[pltpu.VMEM(accshape, jnp.uint32)],
             interpret=interpret,
@@ -450,40 +472,50 @@ def _build_u64(ring, size, provider, left, other, interpret, strict=True):
     smh, sml = _split(sm)
     ch, cl = _split(corr.reshape(m, 1, size).astype(object))
     oblk, nob = _other_block_grid(ring.limb, size, other)
+    rblk, nrb = _row_block(size, oblk)
     if left:
         xshape = (1, 1, size, oblk)
-        xmap = lambda c, b, ob, a: (b, c, _I0, ob)
-        accshape = (6, size, oblk)
+        xmap = lambda c, b, ob, rb, a: (b, c, _I0, ob)
+        oshape = (1, 1, rblk, oblk)
+        omap = lambda c, b, ob, rb, a: (b, c, rb, ob)
+        wshape = (1, 1, rblk, size)
+        wmap = lambda c, b, ob, rb, a: (c, a, rb, _I0)
+        accshape = (6, rblk, oblk)
     else:
         xshape = (1, 1, oblk, size)
-        xmap = lambda c, b, ob, a: (b, c, ob, _I0)
-        accshape = (6, oblk, size)
+        xmap = lambda c, b, ob, rb, a: (b, c, ob, _I0)
+        oshape = (1, 1, oblk, rblk)
+        omap = lambda c, b, ob, rb, a: (b, c, ob, rb)
+        wshape = (1, 1, size, rblk)
+        wmap = lambda c, b, ob, rb, a: (c, a, _I0, rb)
+        accshape = (6, oblk, rblk)
 
     def call(xbh, xbl):
         B = xbh.shape[0]
         out_sd = jax.ShapeDtypeStruct(xbh.shape, jnp.uint32)
         spec_x = pl.BlockSpec(xshape, xmap, memory_space=pltpu.VMEM)
+        spec_o = pl.BlockSpec(oshape, omap, memory_space=pltpu.VMEM)
         return pl.pallas_call(
-            functools.partial(_kernel_u64, left, size, oblk, ndig, bias,
-                              strict),
-            grid=(m, B, nob, ndig),
+            functools.partial(_kernel_u64, left, size, oblk, rblk, ndig,
+                              bias, strict),
+            grid=(m, B, nob, nrb, ndig),
             in_specs=[
                 spec_x, spec_x,
-                pl.BlockSpec((1, 1, size, size),
-                             lambda c, b, ob, a: (c, a, _I0, _I0),
+                pl.BlockSpec(wshape, wmap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, rblk),
+                             lambda c, b, ob, rb, a: (c, _I0, rb),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, size),
-                             lambda c, b, ob, a: (c, _I0, _I0),
+                pl.BlockSpec((1, 1, rblk),
+                             lambda c, b, ob, rb, a: (c, _I0, rb),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, size),
-                             lambda c, b, ob, a: (c, _I0, _I0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 4), lambda c, b, ob, a: (c, _I0, _I0),
+                pl.BlockSpec((1, 1, 4),
+                             lambda c, b, ob, rb, a: (c, _I0, _I0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 4), lambda c, b, ob, a: (c, _I0, _I0),
+                pl.BlockSpec((1, 1, 4),
+                             lambda c, b, ob, rb, a: (c, _I0, _I0),
                              memory_space=pltpu.SMEM),
             ],
-            out_specs=[spec_x, spec_x],
+            out_specs=[spec_o, spec_o],
             out_shape=[out_sd, out_sd],
             scratch_shapes=[pltpu.VMEM(accshape, jnp.uint32)],
             interpret=interpret,

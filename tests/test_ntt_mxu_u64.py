@@ -17,7 +17,9 @@ SLOW = [(32768, 124, "u64")]
 def test_supports():
     assert ntt_mxu_u64.supports_fused(nfl.Ring("u64", 8192, 2))
     assert ntt_mxu_u64.supports_fused(nfl.Ring("u64", 8, 1))
-    assert not ntt_mxu_u64.supports_fused(nfl.Ring("u64", 1 << 17, 1))
+    # round 3: degrees 2^17..2^20 run the split large path
+    assert ntt_mxu_u64.supports_fused(nfl.Ring("u64", 1 << 17, 1))
+    assert ntt_mxu_u64.supports_fused(nfl.Ring("u64", 1 << 20, 1))
     assert not ntt_mxu_u64.supports_fused(nfl.Ring("u32", 8192, 2))
 
 
