@@ -269,7 +269,11 @@ def _batch_block(B, n):
     bb=16 now compiles at n=2^14 and measures ~4% faster than bb=8
     same-session, reversing the round-2 rejection)."""
     cap = max(1, (8 << 20) // (8 * 4 * n))
-    for bb in (16, 8, 4, 2):
+    # bb=16 only at large degrees (n1, n2 >= 128): on tiny geometries the
+    # [bb*n1, n2] int8 reshape hits an unsupported Mosaic shape cast
+    # (measured at n=128 u16: vector<8x2x4xi8> -> vector<16x4xi8>)
+    blocks = (16, 8, 4, 2) if n >= (1 << 14) else (8, 4, 2)
+    for bb in blocks:
         if bb <= cap and B % bb == 0:
             return bb
     return 1
@@ -469,18 +473,36 @@ def _right_matmul_batched(x, w_ref, p, sh, dbits, ndig, bb, n1, n2,
                           corr=None, strict=True):
     """X_i @ W for a [bb, n1, n2] batch block: the bb row-DFTs stack into
     ONE [bb*n1, n2] @ [n2, n2] dot per digit pair (leading-dim collapse is
-    free; the wide lhs amortizes per-dot overhead and fills the MXU)."""
+    free; the wide lhs amortizes per-dot overhead and fills the MXU).
+
+    Tiny degrees (n1 < 8, i.e. degree < 128): the bb*n1 merge is an
+    unsupported Mosaic int8 shape cast (sub-sublane rows); fall back to
+    per-element dots there."""
     xd = _digitize_i8(x, dbits, ndig)
-    xs = [d.reshape(bb * n1, n2) for d in xd]
     groups = []
-    for a in range(ndig):
-        acc = None
-        for b in range(ndig):
-            s = jax.lax.dot_general(
-                xs[b], w_ref[ndig * a + b], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            acc = s if acc is None else acc + s
-        groups.append(acc.reshape(bb, n1, n2))
+    if n1 >= 8:
+        xs = [d.reshape(bb * n1, n2) for d in xd]
+        for a in range(ndig):
+            acc = None
+            for b in range(ndig):
+                s = jax.lax.dot_general(
+                    xs[b], w_ref[ndig * a + b], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                acc = s if acc is None else acc + s
+            groups.append(acc.reshape(bb, n1, n2))
+    else:
+        for a in range(ndig):
+            per = []
+            for i in range(bb):
+                acc = None
+                for b in range(ndig):
+                    s = jax.lax.dot_general(
+                        xd[b][i], w_ref[ndig * a + b],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    acc = s if acc is None else acc + s
+                per.append(acc)
+            groups.append(jnp.stack(per) if bb > 1 else per[0][None])
     return _recombine_groups(groups, p, sh, dbits, ndig, corr, strict)
 
 

@@ -233,16 +233,32 @@ def _left_matmul64(xp, w_ref, p, mbar, corr, bb, n1, n2, strict):
 
 def _right_matmul64(xp, w_ref, p, mbar, corr, bb, n1, n2, strict):
     xd = _digitize64(xp)
-    xs = [d.reshape(bb * n1, n2) for d in xd]
     groups = []
-    for a in range(_NDIG):
-        acc = None
-        for b in range(_NDIG):
-            s = jax.lax.dot_general(
-                xs[b], w_ref[_NDIG * a + b], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            acc = s if acc is None else acc + s
-        groups.append(acc.reshape(bb, n1, n2))
+    if n1 >= 8:
+        xs = [d.reshape(bb * n1, n2) for d in xd]
+        for a in range(_NDIG):
+            acc = None
+            for b in range(_NDIG):
+                s = jax.lax.dot_general(
+                    xs[b], w_ref[_NDIG * a + b], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                acc = s if acc is None else acc + s
+            groups.append(acc.reshape(bb, n1, n2))
+    else:
+        # tiny degrees: the bb*n1 int8 merge is an unsupported Mosaic
+        # shape cast (sub-sublane rows); per-element dots instead
+        for a in range(_NDIG):
+            per = []
+            for i in range(bb):
+                acc = None
+                for b in range(_NDIG):
+                    s = jax.lax.dot_general(
+                        xd[b][i], w_ref[_NDIG * a + b],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    acc = s if acc is None else acc + s
+                per.append(acc)
+            groups.append(jnp.stack(per) if bb > 1 else per[0][None])
     return _recombine64(groups, p, mbar, corr, strict)
 
 

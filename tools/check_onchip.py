@@ -39,6 +39,7 @@ GOLDEN_DIR = pathlib.Path(__file__).resolve().parent / "golden"
 KEY = bytes(range(32))          # nfl_dump.cpp's fixed randombytes key
 
 CONFIGS = [
+    ("8_60_u32", "u32", 8, 60),
     ("128_14_u16", "u16", 128, 14),
     ("1024_60_u32", "u32", 1024, 60),
     ("4096_60_u32", "u32", 4096, 60),
