@@ -173,28 +173,47 @@ def run_zero_sum_check(ring: Ring, repetitions: int = 10,
 # fully on-device pipeline: sampling fuses into the encrypt graph
 # ---------------------------------------------------------------------------
 
-def _encrypt_on_device_graph(ctx, g_prng, key: bytes, nonce: int, pka, pkb):
-    """Noise sampling (device Salsa20 + fixed-consumption Gaussian) and the
-    encrypt chain in ONE jittable graph — zero host transfers per message.
+def _encrypt_on_device_graph(ctx, g_prng, key: bytes, nonce, pka, pkb,
+                             exact: bool = False):
+    """Noise sampling (device Salsa20 Gaussian) and the encrypt chain in
+    ONE jittable graph — zero host transfers per message.
 
-    Uses three nonces (u, e1, e2) starting at `nonce`."""
-    from ..prng.device_sampling import device_gaussian
+    exact=False (default): the fixed-consumption device Gaussian, three
+    nonces (u, e1, e2) starting at `nonce` — distribution-equal to the
+    host encrypt().
+    exact=True: the STREAM-EXACT device Gaussian with in-graph nonce
+    chaining (each sampler reports how many fill() calls the host walk
+    would make, and the next starts there) — the ciphertexts are
+    bit-identical to host encrypt() with a stream at the same
+    (key, nonce)."""
+    from ..prng.device_sampling import device_gaussian, device_gaussian_exact
     from ..prng.sampling import gaussian as gaussian_mode
 
     ring = ctx.ring
-    u = device_gaussian(ring, key, nonce, gaussian_mode(g_prng))
-    e1 = device_gaussian(ring, key, nonce + 1, gaussian_mode(g_prng, 2))
-    e2 = device_gaussian(ring, key, nonce + 2, gaussian_mode(g_prng, 2))
+    if exact:
+        u, f0 = device_gaussian_exact(ring, key, nonce,
+                                      gaussian_mode(g_prng),
+                                      return_fills=True)
+        e1, f1 = device_gaussian_exact(ring, key, nonce + f0,
+                                       gaussian_mode(g_prng, 2),
+                                       return_fills=True)
+        e2 = device_gaussian_exact(ring, key, nonce + f0 + f1,
+                                   gaussian_mode(g_prng, 2))
+    else:
+        u = device_gaussian(ring, key, nonce, gaussian_mode(g_prng))
+        e1 = device_gaussian(ring, key, nonce + 1, gaussian_mode(g_prng, 2))
+        e2 = device_gaussian(ring, key, nonce + 2, gaussian_mode(g_prng, 2))
     return _encrypt_graph(ctx, pka, pkb, u, e1, e2)
 
 
 def encrypt_on_device(keys: LweKeys, ring: Ring, key: bytes, nonce: int,
-                      g_prng: FastGaussianNoise):
+                      g_prng: FastGaussianNoise, exact: bool = False):
     """Encrypt a zero with all randomness generated on the accelerator.
 
-    Distribution-equal to encrypt() (the device Gaussian is the
-    fixed-consumption formulation; see prng/device_sampling.py)."""
-    enc = _jitted_ondevice(ring, _gaussian_key(g_prng), key)
+    exact=False: distribution-equal to encrypt() (fixed-consumption device
+    Gaussian).  exact=True: bit-identical to encrypt() for a host stream
+    at the same (key, nonce) — see _encrypt_on_device_graph."""
+    enc = _jitted_ondevice(ring, _gaussian_key(g_prng), key, exact)
     resa, resb = enc(keys.pka.data, keys.pkb.data, nonce)
     return Poly(resa, ring), Poly(resb, ring)
 
@@ -216,12 +235,14 @@ def _gaussian_key(g_prng: FastGaussianNoise) -> tuple:
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_ondevice(ring: Ring, g_key: tuple, key: bytes):
+def _jitted_ondevice(ring: Ring, g_key: tuple, key: bytes,
+                     exact: bool = False):
     ctx = ring.context()
     g_prng = _GPRNG_BY_KEY[g_key]
 
     def graph(pka, pkb, nonce):
-        return _encrypt_on_device_graph(ctx, g_prng, key, nonce, pka, pkb)
+        return _encrypt_on_device_graph(ctx, g_prng, key, nonce, pka, pkb,
+                                        exact=exact)
 
     return jax.jit(graph)
 

@@ -200,7 +200,8 @@ def _count_barriers_le(r16, bw_dev, nb):
     return lo
 
 
-def device_gaussian_exact(ring: Ring, key: bytes, nonce: int, mode: gaussian):
+def device_gaussian_exact(ring: Ring, key: bytes, nonce, mode: gaussian,
+                          return_fills: bool = False):
     """STREAM-EXACT device Gaussian: same (key, nonce) => bit-identical
     outputs to the host walk (prng/gaussian.py _get_noise_py, reference
     FastGaussianNoise.hpp:478-595), including its data-dependent per-sample
@@ -214,7 +215,14 @@ def device_gaussian_exact(ring: Ring, key: bytes, nonce: int, mode: gaussian):
     the sample-start positions are g's orbit of 0 — computed for all blocks
     at once in ceil(log2(block_size)) gather rounds instead of one step per
     sample.  Outputs are then a vectorized table/binary-search evaluation
-    at the start positions, exactly as the host short-circuits them."""
+    at the start positions, exactly as the host short-circuits them.
+
+    `nonce` may be a python int or a traced scalar (device_stream_words
+    accepts both), and `return_fills=True` additionally returns the number
+    of fill() calls the host walk would have made — i.e. how far the host
+    stream's nonce advances — so multiple exact samplers can CHAIN with
+    bit-identical results to sequential host draws (apps/lwe.py's exact
+    on-device pipeline)."""
     fg = mode.fg_prng
     amp = int(mode.amplifier)
     wp = fg.word_precision
@@ -305,7 +313,8 @@ def device_gaussian_exact(ring: Ring, key: bytes, nonce: int, mode: gaussian):
     flat_valid = valid.reshape(-1)
     flat_out = out.reshape(-1).astype(jnp.int64) * amp
     idx = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
-    tgt = jnp.where(flat_valid & (idx < rlen), idx, rlen)
+    selected = flat_valid & (idx < rlen)
+    tgt = jnp.where(selected, idx, rlen)
     noise = jnp.zeros((rlen,), dtype=jnp.int64).at[tgt].set(
         flat_out, mode="drop")
 
@@ -313,7 +322,16 @@ def device_gaussian_exact(ring: Ring, key: bytes, nonce: int, mode: gaussian):
                                  dtype=np.int64).reshape(-1, 1))
     vals = jnp.where(noise[None, :] < 0, p_col + noise[None, :],
                      noise[None, :])
-    return vals.astype(ring.dtype)
+    vals = vals.astype(ring.dtype)
+    if not return_fills:
+        return vals
+    # fills the HOST would make: the initial one plus one refill per
+    # selected sample whose successor hits the sentinel (the host refills
+    # inside the loop body, even after the final sample)
+    succ = jnp.take_along_axis(g, jnp.minimum(pos, innoise), axis=1)
+    trip = (succ == innoise).reshape(-1)
+    fills = 1 + jnp.sum(jnp.where(selected & trip, 1, 0))
+    return vals, fills
 
 
 def device_hwt(ring: Ring, key: bytes, nonce: int, mode):

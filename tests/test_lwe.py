@@ -40,3 +40,25 @@ def test_encrypt_on_device_decrypts_to_zero():
                                            100 + 3 * i, g)
         total = total + lwe.decrypt(keys, ring, resa, resb).astype(jnp.int64)
     assert bool(jnp.all(total == 0))
+
+
+def test_encrypt_on_device_exact_matches_host():
+    """exact=True on-device encryption is BIT-IDENTICAL to host encrypt()
+    for a stream at the same (key, nonce): the stream-exact device Gaussian
+    chains nonces in-graph exactly as the host walk's fill() calls do."""
+    import numpy as np
+    from nfllib_tpu.prng.salsa20 import Salsa20Stream
+
+    ring = make_ring(256, 60, "u32")
+    g = lwe.make_gaussian_prng(samples=256)
+    key = b"\x31" * 32
+    st = Salsa20Stream(key)
+    keys = lwe.keygen(ring, st, g)
+    enc_nonce = st.nonce
+    ra_h, rb_h = lwe.encrypt(keys, ring, st, g)
+    ra_d, rb_d = lwe.encrypt_on_device(keys, ring, key, enc_nonce, g,
+                                       exact=True)
+    np.testing.assert_array_equal(np.asarray(ra_h.data),
+                                  np.asarray(ra_d.data))
+    np.testing.assert_array_equal(np.asarray(rb_h.data),
+                                  np.asarray(rb_d.data))
