@@ -16,10 +16,11 @@ Differences from the single-chip kernels, driven by the distributed shapes:
   * UNSCALED digit planes: local sizes reach 1024 (n = 2^20 symmetric
     split), where the single-chip kernels' pre-scaled layout (ndig^2 planes)
     would need 16-64 MB of VMEM.  Here W decomposes into just ndig balanced
-    planes (4 MB u32 / 8 MB u64 at size 1024) and the digit cross products
-    land in 2*ndig-1 shift groups, recombined by a TWO-PART carry-free
-    Barrett pack: lo groups (k < ndig) and hi groups fold separately, then
-    combine with one Shoup multiply by 2^(8*ndig) mod p.
+    planes (4 MB u32 / 8 MB u64 at size 1024), streamed ONE PLANE PER GRID
+    STEP, and the biased digit cross products fold incrementally into
+    exact carry-tracked multi-word accumulators in VMEM scratch; the final
+    step runs a two-part Barrett recombination (lo/hi halves combined by
+    one Shoup multiply with 2^(8*ndig) mod p).
   * Offset-byte digitize for X (d = byte - 128, no carries); the constant
     under-count has the closed form 128 * S * rowsum(Wd) with
     S = sum_b 2^(8b), folded into one correction vector per table together
@@ -63,18 +64,6 @@ def supports(ring, size: int) -> bool:
 
 def _ndig(limb):
     return 4 if limb == "u32" else 8
-
-
-def _other_block(limb, size, other):
-    """Block size along the non-transformed axis: bounds the VMEM working
-    set (digit planes of the x block + pack accumulators + dot buffers,
-    ~15 i32-equivalent [size, oblk] live arrays) to ~5 MB next to the
-    ndig*size^2 table planes.  Power-of-two, >= 128 when other allows."""
-    budget = 5 << 20
-    oblk = other
-    while oblk > 128 and 15 * 4 * size * oblk > budget:
-        oblk //= 2
-    return oblk
 
 
 def _bias_bits(limb, size):
