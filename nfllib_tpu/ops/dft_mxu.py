@@ -375,9 +375,13 @@ def _other_block_grid(limb, size, other):
 
 def _row_block(size, oblk):
     """(rblk, nrb): additionally block the W/output rows (left; columns on
-    the right side) at the largest sizes — at size 1024 the x block, digit
-    planes, scratch and dot temporaries around a full-size output tile
-    still overflow the 16 MB scoped VMEM (measured 18.5 MB on chip)."""
+    the right side) at size 1024 ONLY — there the full-size output tile's
+    scratch and dot temporaries overflow the 16 MB scoped VMEM (measured
+    18.5 MB on chip), while size <= 512 compiles unblocked and runs ~20%
+    faster without the per-row-block digitize recompute (measured at
+    2^17)."""
+    if size < 1024:
+        return size, 1
     rblk = size
     while rblk > 256 and 14 * 4 * rblk * oblk > (2 << 20):
         rblk //= 2
