@@ -276,9 +276,14 @@ def four_step_ntt_local(x, fctx: FourStepContext, col_slice=None,
 
 
 def four_step_intt_local(x, fctx: FourStepContext, row_slice=None,
-                         axis_name=None):
+                         axis_name=None, n_devices=1, chunks=1):
     """Inverse of four_step_ntt_local.  x: [m, n1_local, n2] row shard ->
-    [m, n1, n2_local] column shard of the coefficient tensor."""
+    [m, n1, n2_local] column shard of the coefficient tensor.
+
+    chunks > 1: same comm/compute-overlap structure as the forward pass,
+    mirrored — the inverse twiddle of chunk c+1 overlaps the transpose of
+    chunk c (each chunk is the c-th sub-columns of every destination
+    block)."""
     n1, n2 = fctx.plan.n1, fctx.plan.n2
     p_col = jnp.asarray(fctx.p_col)
     p3 = p_col[..., None]
@@ -294,9 +299,39 @@ def four_step_intt_local(x, fctx: FourStepContext, row_slice=None,
         x = _dft_lastaxis(x, jnp.asarray(fctx.row_iw),
                           jnp.asarray(fctx.row_iws),
                           n2, fctx.p_col, fctx.rev2)
+    itw = jnp.asarray(fctx.itwiddle[:, rows, :])
+    itws = jnp.asarray(fctx.itwiddle_s[:, rows, :])
+    if axis_name is not None and chunks > 1:
+        m_, n1l, _ = x.shape[-3:]
+        d = n_devices
+        s = n2 // d // chunks
+        x5 = x.reshape(x.shape[:-3] + (m_, n1l, d, chunks, s))
+        t5 = itw.reshape(itw.shape[:-3] + (m_, n1l, d, chunks, s))
+        ts5 = itws.reshape(itws.shape[:-3] + (m_, n1l, d, chunks, s))
+        outs = []
+        for c in range(chunks):
+            xc = x5[..., :, :, :, c, :].reshape(
+                x.shape[:-3] + (m_, n1l, d * s))
+            tc = t5[..., :, :, :, c, :].reshape(
+                x.shape[:-3] + (m_, n1l, d * s))
+            tsc = ts5[..., :, :, :, c, :].reshape(
+                x.shape[:-3] + (m_, n1l, d * s))
+            xc = modops.mulmod_shoup(xc, tc, tsc, p3)
+            outs.append(jax.lax.all_to_all(
+                xc, axis_name, split_axis=xc.ndim - 1,
+                concat_axis=xc.ndim - 2, tiled=True))   # [m, n1, s]
+        x = jnp.concatenate(outs, axis=-1)              # [m, n1, n2/D]
+        if mod is not None:
+            x = mod.dft_along(x, ring, n1, axis=-2, inverse=True)
+        else:
+            xt = jnp.swapaxes(x, -1, -2)
+            xt = _dft_lastaxis(xt, jnp.asarray(fctx.col_iw),
+                               jnp.asarray(fctx.col_iws),
+                               n1, fctx.p_col, fctx.rev1)
+            x = jnp.swapaxes(xt, -1, -2)
+        return x, None
     # inverse twiddle (row shard of the [m, n1, n2] table)
-    x = modops.mulmod_shoup(x, jnp.asarray(fctx.itwiddle[:, rows, :]),
-                            jnp.asarray(fctx.itwiddle_s[:, rows, :]), p3)
+    x = modops.mulmod_shoup(x, itw, itws, p3)
     # transpose back: rows shard -> columns shard
     if axis_name is not None:
         x = jax.lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1,
@@ -409,10 +444,11 @@ def distributed_ntt_pow_phi(x, ring: Ring, mesh: Mesh, *, n1=None,
 
 @functools.lru_cache(maxsize=None)
 def _build_dist_inv(ring: Ring, mesh: Mesh, n1: int, deg_axis: str,
-                    ndim: int):
+                    ndim: int, chunks: int = 1):
     n = ring.degree
     n2 = n // n1
     fctx = get_four_step_context(ring, n1, n2)
+    d = mesh.shape[deg_axis]
 
     row_sh = NamedSharding(mesh, P(None, deg_axis, None))
     col_sh = NamedSharding(mesh, P(None, None, deg_axis))
@@ -430,7 +466,8 @@ def _build_dist_inv(ring: Ring, mesh: Mesh, n1: int, deg_axis: str,
         f = _TableView(fctx, itwiddle=itwiddle, itwiddle_s=itwiddle_s,
                        ivp=ivp, ivp_s=ivp_s)
         xb, _ = four_step_intt_local(yb, f, row_slice=None,
-                                     axis_name=deg_axis)
+                                     axis_name=deg_axis, n_devices=d,
+                                     chunks=chunks)
         return _untwist(xb, f, None, p3)
 
     spec = P(*([None] * (ndim - 2) + [deg_axis, None]))
@@ -444,13 +481,17 @@ def _build_dist_inv(ring: Ring, mesh: Mesh, n1: int, deg_axis: str,
 
 
 def distributed_invntt_pow_invphi(y, ring: Ring, mesh: Mesh, *, n1=None,
-                                  deg_axis: str = "deg"):
+                                  deg_axis: str = "deg", chunks: int = 1):
     """Inverse of distributed_ntt_pow_phi: [..., m, n1(sharded), n2] four-step
     layout -> coefficient tensor [..., m, n] sharded over the degree axis."""
     n = ring.degree
     if n1 is None:
         n1 = 1 << (static_log2(n) // 2)
-    fn = _build_dist_inv(ring, mesh, n1, deg_axis, y.ndim)
+    if chunks > 1:
+        d = mesh.shape[deg_axis]
+        assert (n // n1) % (d * chunks) == 0, \
+            "chunks must divide the column blocks"
+    fn = _build_dist_inv(ring, mesh, n1, deg_axis, y.ndim, chunks)
     out = fn(y)
     return out.reshape(out.shape[:-2] + (n,))
 

@@ -254,3 +254,13 @@ def test_chunked_all_to_all_overlap(rng):
         assert n_a2a == 4, f"expected 4 chunked all-to-alls, got {n_a2a}"
         got = np.asarray(fwd(xd))
     np.testing.assert_array_equal(got, want)
+    # inverse mirrored: chunked transpose back, bit-identical roundtrip
+    y = ntt_dist.distributed_ntt_pow_phi(xd, ring, mesh)
+    with mesh:
+        inv = lambda v: ntt_dist.distributed_invntt_pow_invphi(
+            v, ring, mesh, chunks=2)
+        hlo_i = jax.jit(inv).lower(y).compile().as_text()
+        n_i = hlo_i.count(" all-to-all(") + hlo_i.count(" all-to-all-start(")
+        assert n_i == 2, f"expected 2 chunked all-to-alls, got {n_i}"
+        back = np.asarray(inv(y))
+    np.testing.assert_array_equal(back, np.asarray(x))
