@@ -15,9 +15,13 @@ Byte-consumption contracts:
       - device_gaussian_exact: STREAM-EXACT — bit-identical outputs to the
         host walk for the same (key, nonce), reproducing its variable
         per-sample consumption and refill policy by pointer doubling.
-  * hwt_dist (device_hwt): distribution-equal with a DOCUMENTED consumption
-    difference (argsort-of-random-keys subset selection instead of the
-    host's sequential rejection reservoir, core.hpp:352-391).
+  * hwt_dist has the same two device formulations as the gaussian:
+      - device_hwt (dispatcher default): fixed consumption (n + h words) —
+        distribution-equal via argsort-of-random-keys subset selection;
+      - device_hwt_exact: STREAM-EXACT — bit-identical to the host's
+        sequential rejection reservoir (core.hpp:352-391) for the same
+        (key, nonce), resolving the (astronomically rare) data-dependent
+        rejections exactly.
 """
 from __future__ import annotations
 
@@ -334,13 +338,126 @@ def device_gaussian_exact(ring: Ring, key: bytes, nonce, mode: gaussian,
     return vals, fills
 
 
+def _hwt_positions_from_words(W, n: int, h: int, amb_cap: int):
+    """Core of the stream-exact hwt walk: given the budgeted reservoir word
+    stream W ([Wtot] uint64, consumption order), reproduce the host
+    rejection-sampled reservoir (sampling.sample_hwt, reference
+    core.hpp:352-391) exactly and return (order, fills_res):
+      order     [h] int32 — the sorted final reservoir (hit positions),
+      fills_res scalar    — how many h-word fill() calls the host consumed.
+
+    The host walk is sequential (for k in h..n-1: pop words until one is
+    accepted), but its data dependence is almost degenerate: every pop
+    consumes exactly ONE word, and a word can only be REJECTED when
+    w > M - (M mod k) with (M mod k) < k <= n — i.e. when w lands in the
+    top < n values of the 2^64 range (probability < 2^-44 per word).  So:
+      * words with w <= M - n are accepted at ANY k: if none of the tiny
+        "ambiguous" tail set occurs (the overwhelmingly common case) the
+        k-counter at word i is simply h + i and everything vectorizes;
+      * the at-most-a-handful ambiguous words are resolved exactly, in
+        order, by a fori_loop of `amb_cap` O(1) steps (each rejection
+        shifts every later word's k down by one).
+    This is the hwt analog of the gaussian sampler's pointer-doubling: the
+    sequential state (here the k counter) is recovered from per-word local
+    data plus a vanishing number of data-dependent fixups."""
+    import jax.numpy as _jnp
+    from jax import lax
+
+    Wtot = int(W.shape[0])
+    M = _jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    # superset of every possibly-rejectable word: rejection needs
+    # w > M - (M mod k) >= M - (n - 2)
+    amb = W > (M - _jnp.uint64(n))
+    iota = _jnp.arange(Wtot, dtype=_jnp.int32)
+    big = _jnp.int32(Wtot)
+    amb_idx = _jnp.sort(_jnp.where(amb, iota, big))[:amb_cap]
+
+    def body(j, carry):
+        rejected, rejcount = carry
+        i = amb_idx[j]
+        valid = i < big
+        ic = _jnp.minimum(i, big - 1)
+        w = W[ic]
+        # k at word i = h + #accepts before i = h + i - #rejects before i;
+        # all rejected words are ambiguous, so rejcount IS that count
+        k = _jnp.uint64(h) + ic.astype(_jnp.uint64) - rejcount
+        kc = _jnp.clip(k, _jnp.uint64(1), _jnp.uint64(max(n - 1, 1)))
+        rej = valid & (w > (M - (M % kc)))
+        rejected = rejected.at[i].set(rej, mode="drop")
+        return rejected, rejcount + rej.astype(_jnp.uint64)
+
+    rejected = _jnp.zeros((Wtot,), dtype=bool)
+    rejected, _ = lax.fori_loop(
+        0, amb_cap, body, (rejected, _jnp.uint64(0)))
+    accepted = ~rejected
+    acc = accepted.astype(_jnp.int32)
+    acc_excl = _jnp.cumsum(acc) - acc                 # #accepts before i
+    k = _jnp.uint64(h) + acc_excl.astype(_jnp.uint64)
+    consumed = acc_excl < (n - h)                     # popped by the host
+    upd = consumed & accepted
+    pos = (W % _jnp.maximum(k, _jnp.uint64(1))).astype(_jnp.int32)
+    write = upd & (pos < h)
+    tgt = _jnp.where(write, pos, h)                   # h = drop slot
+    # hitted[p] = k of the LAST write to slot p (k strictly increases over
+    # accepted words, so last == max), else its initial value p
+    vals = _jnp.full((h,), -1, dtype=_jnp.int32).at[tgt].max(
+        k.astype(_jnp.int32), mode="drop")
+    hitted = _jnp.where(vals >= 0, vals, _jnp.arange(h, dtype=_jnp.int32))
+    order = _jnp.sort(hitted)
+    T = _jnp.sum(consumed.astype(_jnp.int32))         # words popped
+    fills_res = (T + h - 1) // h                      # ceil: refill-on-empty
+    return order, fills_res
+
+
+def device_hwt_exact(ring: Ring, key: bytes, nonce, mode,
+                     return_fills: bool = False, _amb_cap: int = 8):
+    """STREAM-EXACT device hwt_dist: same (key, nonce) => bit-identical
+    output to the host walk (sampling.sample_hwt, reference
+    core.hpp:352-391), including its variable rejection-loop word
+    consumption and refill-on-empty policy (see _hwt_positions_from_words).
+
+    Like the host, fill f reads the first h*8 bytes of the (nonce + f)
+    stream (the Salsa20Stream per-call nonce bump), and the h sign words
+    come from one more call AFTER the reservoir finishes — at a
+    data-dependent nonce offset, handled by device_stream_words' traced
+    nonce support.  `return_fills=True` additionally returns the total
+    nonce advance (reservoir fills + the sign call) so exact samplers can
+    chain bit-identically to sequential host draws."""
+    h = int(mode.hwt)
+    n = ring.degree
+    if not 0 < h <= n:
+        raise ValueError("hwt must be in (0, degree]")
+    # zero-rejection consumption is n - h words; ONE spare fill of h words
+    # absorbs any realistic rejection count (each rejection costs one extra
+    # word and happens with probability < n/2^64 < 2^-44 per word)
+    nf_budget = max(1, -(-(n - h) // h) + 1)
+    fills = [_stream_limbs(key, nonce + f, h, 8) for f in range(nf_budget)]
+    W = jnp.concatenate(fills)
+    order, fills_res = _hwt_positions_from_words(W, n, h, _amb_cap)
+
+    signs = _stream_limbs(key, nonce + fills_res, h, 8)
+    bit = signs & jnp.uint64(2)                       # j-th word, j-th hit
+    hit = jnp.zeros((n,), dtype=bool).at[order].set(True)
+    bitarr = jnp.zeros((n,), dtype=jnp.uint64).at[order].set(bit)
+    lp = ring.limb_params
+    p_col = jnp.asarray(np.array([int(p) - 1 for p in ring.moduli],
+                                 dtype=np.uint64).reshape(-1, 1))
+    vals = jnp.where(hit[None, :], p_col + bitarr[None, :],
+                     jnp.zeros_like(p_col))
+    mask = jnp.asarray((1 << lp.repr_bits) - 1, dtype=jnp.uint64)
+    out = (vals & mask).astype(lp.dtype)
+    if not return_fills:
+        return out
+    return out, fills_res + 1
+
+
 def device_hwt(ring: Ring, key: bytes, nonce: int, mode):
     """Exact-Hamming-weight +-1 polynomial on device (reference
     core.hpp:352-391 semantics: h positions hit, signs from bit 1 of one
     64-bit word per hit, negatives encoded as p - 1).
 
-    CONSUMPTION DIFFERENCE (documented): the host/reference walk is a
-    sequential rejection-sampled reservoir; here the h-subset comes from a
+    Fixed-consumption formulation (the dispatcher default; see
+    device_hwt_exact for the stream-exact tier): the h-subset comes from a
     random-key argsort (top-h of n 64-bit keys = a uniform h-subset, key
     collisions ~ n^2/2^64), consuming n + h words instead of the host's
     variable count — distribution-equal, not stream-exact."""

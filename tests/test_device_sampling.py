@@ -209,3 +209,84 @@ def test_device_hwt_subset_uniformity():
     expected = trials * h / 64
     sd = np.sqrt(trials * (h / 64) * (1 - h / 64))
     assert np.all(np.abs(counts - expected) < 6 * sd), counts
+
+
+# ---------------------------------------------------------------------------
+# stream-exact device hwt (round-3 VERDICT item 6)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("degree,agg,limb", CONFIGS)
+@pytest.mark.parametrize("hfrac", ["one", "quarter", "full"])
+def test_device_hwt_exact_matches_host(degree, agg, limb, hfrac):
+    """Same (key, nonce) => byte-identical output to the host reservoir."""
+    from nfllib_tpu.prng.sampling import hwt_dist
+
+    ring = make_ring(degree, agg, limb)
+    h = {"one": 1, "quarter": degree // 4, "full": degree}[hfrac]
+    mode = hwt_dist(h)
+    for nonce in (0, 5):
+        want = sampling.sample_hwt(ring, Salsa20Stream(KEY, nonce=nonce),
+                                   mode)
+        got = np.asarray(dev.device_hwt_exact(ring, KEY, nonce, mode))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_device_hwt_exact_chains_like_host():
+    """return_fills lets consecutive exact draws mirror one host stream."""
+    from nfllib_tpu.prng.sampling import hwt_dist
+
+    ring = make_ring(256, 60, "u32")
+    mode = hwt_dist(32)
+    st = Salsa20Stream(KEY, nonce=2)
+    want1 = sampling.sample_hwt(ring, st, mode)
+    want2 = sampling.sample_hwt(ring, st, mode)
+    got1, adv1 = dev.device_hwt_exact(ring, KEY, 2, mode, return_fills=True)
+    got2 = dev.device_hwt_exact(ring, KEY, 2 + int(adv1), mode)
+    np.testing.assert_array_equal(np.asarray(got1), want1)
+    np.testing.assert_array_equal(np.asarray(got2), want2)
+    assert int(adv1) == (st.nonce - 2) // 2  # each draw advances equally
+
+
+def _host_walk_on_words(words, n, h):
+    """Python mirror of sampling.sample_hwt's reservoir on a given word
+    stream (fills of h words are just consecutive h-slices here)."""
+    M = (1 << 64) - 1
+    hitted = list(range(h))
+    consumed = 0
+    it = iter(words)
+    for k in range(h, n):
+        while True:
+            w = int(next(it))
+            consumed += 1
+            if w <= (M // k) * k:
+                pos = w % k
+                break
+        if pos < h:
+            hitted[pos] = k
+    hitted.sort()
+    return hitted, -(-consumed // h)
+
+
+def test_hwt_word_core_resolves_rejections():
+    """_hwt_positions_from_words handles the data-dependent rejection path
+    exactly: synthetic streams salted with near-2^64 words (impossible to
+    hit through real Salsa20 output in a test) must reproduce the host
+    walk's reservoir AND its fill count."""
+    rng = np.random.default_rng(42)
+    n, h = 96, 16
+    M = (1 << 64) - 1
+    for trial in range(20):
+        budget = n  # plenty: n - h needed + rejections
+        words = rng.integers(0, 1 << 63, size=budget, dtype=np.uint64) * 2 \
+            + rng.integers(0, 2, size=budget, dtype=np.uint64)
+        # salt 0..6 ambiguous words into the consumed prefix; values in
+        # (M - n, M] — some reject (w > M - (M mod k)), some accept
+        namb = int(rng.integers(0, 7))
+        slots = rng.choice(n - h, size=namb, replace=False)
+        words[slots] = M - rng.integers(0, n, size=namb, dtype=np.uint64)
+        want_hitted, want_fills = _host_walk_on_words(words, n, h)
+        import jax.numpy as jnp
+        order, fills = dev._hwt_positions_from_words(
+            jnp.asarray(words), n, h, amb_cap=budget)
+        np.testing.assert_array_equal(np.asarray(order), want_hitted)
+        assert int(fills) == want_fills, trial
