@@ -264,3 +264,21 @@ def test_chunked_all_to_all_overlap(rng):
         assert n_i == 2, f"expected 2 chunked all-to-alls, got {n_i}"
         back = np.asarray(inv(y))
     np.testing.assert_array_equal(back, np.asarray(x))
+
+
+@pytest.mark.slow
+def test_multiprocess_distributed_ntt():
+    """The EXECUTED multi-host entry: two OS processes join through
+    parallel.api.init_distributed, build a cross-process mesh, and the
+    distributed NTT is bit-exact vs single-process (tools/
+    check_multiprocess.py; also run standalone to record MULTIPROC.json)."""
+    import pathlib
+    import subprocess
+    import sys as _sys
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    r = subprocess.run([_sys.executable,
+                        str(root / "tools" / "check_multiprocess.py")],
+                       cwd=str(root), capture_output=True, text=True,
+                       timeout=1200)
+    assert r.returncode == 0, r.stdout + r.stderr
