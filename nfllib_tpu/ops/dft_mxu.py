@@ -225,8 +225,12 @@ def _combine_parts_u64(r_lo, r_hi, chi, chis, corr, p, strict):
     return r
 
 
-def _kernel_u32(left, size, other, rblk, ndig, bias, strict,
-                x_ref, w_ref, corr_ref, sh_ref, p_ref, o_ref, acc_ref):
+def _kernel_u32(left, size, other, rblk, ndig, bias, strict, twiddle,
+                x_ref, w_ref, corr_ref, sh_ref, p_ref, *rest):
+    if twiddle:
+        tw_ref, tws_ref, o_ref, acc_ref = rest
+    else:
+        o_ref, acc_ref = rest
     a = pl.program_id(4)
     p = p_ref[0, 0, 0]
     shape = (size, other) if left else (other, size)
@@ -282,13 +286,27 @@ def _kernel_u32(left, size, other, rblk, ndig, bias, strict,
             q = modops._mulhi_u32(a28, m60)
             rs.append(lo - q * p)                # < 3p (exact a28)
         corr = corr_ref[0] if not left else corr_ref[0].reshape(rblk, 1)
-        out = _combine_parts_u32(rs[0], rs[1], chi, chis, corr, p, strict)
+        # with a twiddle epilogue the combine may stay lazy (< 2p): the
+        # Shoup multiplier accepts any 32-bit multiplicand
+        out = _combine_parts_u32(rs[0], rs[1], chi, chis, corr, p,
+                                 strict and not twiddle)
+        if twiddle:
+            tw = tw_ref[...].reshape(oshape)
+            tws = tws_ref[...].reshape(oshape)
+            out = modops.mulmod_shoup_lazy(out, tw, tws, p)  # < 2p
+            if strict:
+                out = out - jnp.where(out >= p, p, jnp.zeros_like(out))
         o_ref[...] = out.reshape((1, 1) + oshape).astype(o_ref.dtype)
 
 
-def _kernel_u64(left, size, other, rblk, ndig, bias, strict,
+def _kernel_u64(left, size, other, rblk, ndig, bias, strict, twiddle,
                 xh_ref, xl_ref, w_ref, ch_ref, cl_ref, smh_ref, sml_ref,
-                oh_ref, ol_ref, acc_ref):
+                *rest):
+    if twiddle:
+        (twh_ref, twl_ref, twsh_ref, twsl_ref,
+         oh_ref, ol_ref, acc_ref) = rest
+    else:
+        oh_ref, ol_ref, acc_ref = rest
     a = pl.program_id(4)
     p = (smh_ref[0, 0, 0], sml_ref[0, 0, 0])
     shape = (size, other) if left else (other, size)
@@ -356,7 +374,17 @@ def _kernel_u64(left, size, other, rblk, ndig, bias, strict,
             corr = (ch_ref[0].reshape(rblk, 1), cl_ref[0].reshape(rblk, 1))
         else:
             corr = (ch_ref[0], cl_ref[0])
-        out = _combine_parts_u64(rs[0], rs[1], chi, chis, corr, p, strict)
+        # with a twiddle epilogue the combine may stay lazy (< 2p): the
+        # Shoup multiplier accepts any 64-bit multiplicand
+        out = _combine_parts_u64(rs[0], rs[1], chi, chis, corr, p,
+                                 strict and not twiddle)
+        if twiddle:
+            tw = (twh_ref[...].reshape(oshape), twl_ref[...].reshape(oshape))
+            tws = (twsh_ref[...].reshape(oshape),
+                   twsl_ref[...].reshape(oshape))
+            out = p_shoup_lazy(out, tw, tws, p)              # < 2p
+            if strict:
+                out = p_select(p_ge(out, p), p_sub(out, p), out)
         oh_ref[...] = out[0].reshape((1, 1) + oshape)
         ol_ref[...] = out[1].reshape((1, 1) + oshape)
 
@@ -389,7 +417,8 @@ def _row_block(size, oblk):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_u32(ring, size, provider, left, other, interpret, strict=True):
+def _build_u32(ring, size, provider, left, other, interpret, strict=True,
+               twiddle=False):
     planes, corr, consts, bias, ndig = _custom_tables(ring, provider, size,
                                                       left)
     m = ring.nmoduli
@@ -418,11 +447,21 @@ def _build_u32(ring, size, provider, left, other, interpret, strict=True):
         wmap = lambda c, b, ob, rb, a: (c, a, _I0, rb)
         accshape = (4, oblk, rblk)
 
-    def call(xb):
+    # twiddle epilogue blocks mirror the OUTPUT block's [m, r, c] indexing
+    if left:
+        twshape = (1, rblk, oblk)
+        twmap = lambda c, b, ob, rb, a: (c, rb, ob)
+    else:
+        twshape = (1, oblk, rblk)
+        twmap = lambda c, b, ob, rb, a: (c, ob, rb)
+
+    def call(xb, *tw2):
         B = xb.shape[0]
+        spec_tw = pl.BlockSpec(twshape, twmap, memory_space=pltpu.VMEM)
+        assert len(tw2) == (2 if twiddle else 0)
         return pl.pallas_call(
             functools.partial(_kernel_u32, left, size, oblk, rblk, ndig,
-                              bias, strict),
+                              bias, strict, twiddle),
             grid=(m, B, nob, nrb, ndig),
             in_specs=[
                 pl.BlockSpec(xshape, xmap, memory_space=pltpu.VMEM),
@@ -436,19 +475,20 @@ def _build_u32(ring, size, provider, left, other, interpret, strict=True):
                 pl.BlockSpec((1, 1, 1),
                              lambda c, b, ob, rb, a: (c, _I0, _I0),
                              memory_space=pltpu.SMEM),
-            ],
+            ] + [spec_tw] * len(tw2),
             out_specs=pl.BlockSpec(oshape, omap, memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(xb.shape, ring.dtype),
             scratch_shapes=[pltpu.VMEM(accshape, jnp.uint32)],
             interpret=interpret,
         )(xb, jnp.asarray(planes), jnp.asarray(corr32), jnp.asarray(sh),
-          jnp.asarray(p_vec))
+          jnp.asarray(p_vec), *tw2)
 
     return call
 
 
 @functools.lru_cache(maxsize=None)
-def _build_u64(ring, size, provider, left, other, interpret, strict=True):
+def _build_u64(ring, size, provider, left, other, interpret, strict=True,
+               twiddle=False):
     planes, corr, consts, bias, ndig = _custom_tables(ring, provider, size,
                                                       left)
     m = ring.nmoduli
@@ -483,14 +523,26 @@ def _build_u64(ring, size, provider, left, other, interpret, strict=True):
         wmap = lambda c, b, ob, rb, a: (c, a, _I0, rb)
         accshape = (6, oblk, rblk)
 
-    def call(xbh, xbl):
+    # twiddle epilogue blocks mirror the OUTPUT block's [m, r, c] indexing
+    # (their index map ignores the plane axis `a`, so the pipeline keeps
+    # them resident across the ndig grid steps instead of re-fetching)
+    if left:
+        twshape = (1, rblk, oblk)
+        twmap = lambda c, b, ob, rb, a: (c, rb, ob)
+    else:
+        twshape = (1, oblk, rblk)
+        twmap = lambda c, b, ob, rb, a: (c, ob, rb)
+
+    def call(xbh, xbl, *tw4):
         B = xbh.shape[0]
         out_sd = jax.ShapeDtypeStruct(xbh.shape, jnp.uint32)
         spec_x = pl.BlockSpec(xshape, xmap, memory_space=pltpu.VMEM)
         spec_o = pl.BlockSpec(oshape, omap, memory_space=pltpu.VMEM)
+        spec_tw = pl.BlockSpec(twshape, twmap, memory_space=pltpu.VMEM)
+        assert len(tw4) == (4 if twiddle else 0)
         return pl.pallas_call(
             functools.partial(_kernel_u64, left, size, oblk, rblk, ndig,
-                              bias, strict),
+                              bias, strict, twiddle),
             grid=(m, B, nob, nrb, ndig),
             in_specs=[
                 spec_x, spec_x,
@@ -507,13 +559,13 @@ def _build_u64(ring, size, provider, left, other, interpret, strict=True):
                 pl.BlockSpec((1, 1, 4),
                              lambda c, b, ob, rb, a: (c, _I0, _I0),
                              memory_space=pltpu.SMEM),
-            ],
+            ] + [spec_tw] * len(tw4),
             out_specs=[spec_o, spec_o],
             out_shape=[out_sd, out_sd],
             scratch_shapes=[pltpu.VMEM(accshape, jnp.uint32)],
             interpret=interpret,
         )(xbh, xbl, jnp.asarray(planes), jnp.asarray(ch), jnp.asarray(cl),
-          jnp.asarray(smh), jnp.asarray(sml))
+          jnp.asarray(smh), jnp.asarray(sml), *tw4)
 
     return call
 
@@ -523,11 +575,18 @@ def _build_u64(ring, size, provider, left, other, interpret, strict=True):
 # ---------------------------------------------------------------------------
 
 def matmul_mod(x, ring, provider: str, size: int, *, axis: int,
-               interpret=None):
+               interpret=None, twiddle=None):
     """Square mod-matmul by the provider's per-channel [size, size] matrix
     along `axis` (-2: left, M @ X contracting the sublane axis; -1: right,
     X @ M) of [..., m, r, c] residue tensors.  Fused int8 MXU kernel,
-    canonical in/out."""
+    canonical in/out.
+
+    twiddle=(tw, tws): optional elementwise Shoup-multiply EPILOGUE — the
+    output block is multiplied by tw (tws = floor(tw << wbits / p)) inside
+    the kernel's final grid step, saving the separate full-HBM-pass
+    mulmod_shoup between the four-step factors (round-3 VERDICT item 4).
+    tw/tws are [m, r, c] arrays (host constants or traced shard_map
+    operands), canonical < p."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     assert axis in (-1, -2)
@@ -543,14 +602,24 @@ def matmul_mod(x, ring, provider: str, size: int, *, axis: int,
         xbh = (xb >> jnp.uint64(32)).astype(jnp.uint32)
         xbl = xb.astype(jnp.uint32)
         call = _build_u64(ring, size, provider, left, other,
-                          bool(interpret))
-        oh, ol = call(xbh, xbl)
+                          bool(interpret), twiddle=twiddle is not None)
+        tw4 = ()
+        if twiddle is not None:
+            tw, tws = (jnp.asarray(t) for t in twiddle)
+            tw4 = ((tw >> jnp.uint64(32)).astype(jnp.uint32),
+                   tw.astype(jnp.uint32),
+                   (tws >> jnp.uint64(32)).astype(jnp.uint32),
+                   tws.astype(jnp.uint32))
+        oh, ol = call(xbh, xbl, *tw4)
         out = (oh.astype(jnp.uint64) << jnp.uint64(32)) | ol.astype(
             jnp.uint64)
     else:
         call = _build_u32(ring, size, provider, left, other,
-                          bool(interpret))
-        out = call(xb)
+                          bool(interpret), twiddle=twiddle is not None)
+        tw2 = ()
+        if twiddle is not None:
+            tw2 = tuple(jnp.asarray(t).astype(ring.dtype) for t in twiddle)
+        out = call(xb, *tw2)
     return out.reshape(batch + (m, r, c))
 
 

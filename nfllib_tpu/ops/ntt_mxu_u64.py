@@ -464,7 +464,8 @@ def _large_e2_inv(ring, size):
 
 @functools.lru_cache(maxsize=None)
 def _large_twiddle(ring, inverse):
-    """[m, n1, n2] twiddle (+ 64-bit Shoup companions) for the jnp bridge:
+    """[m, n1, n2] twiddle (+ 64-bit Shoup companions), applied as the
+    first dft_mxu matmul's in-kernel epilogue:
     fwd t[r, i2] = (w^rev(r) * phi)^i2; inv t[r, i2] = inv_deg *
     (iw^rev(r) * iphi)^i2 (the i2 untwist and n^-1 folded in)."""
     from ..ring import _np_mulmod_vec, _np_shoup_vec
@@ -508,6 +509,14 @@ def _large_run64(x, ctx, inverse, interpret):
     x = jnp.asarray(x)
     batch = x.shape[:-2]
     xb = x.reshape((-1, m, n1, n2))
+    # The inter-matmul [m, n1, n2] pair-Shoup twiddle stays a SEPARATE jnp
+    # pass, measured on chip (round 4): XLA runs it at its bandwidth floor
+    # (68 us vs the 82 us roofline at 2^20 — ~1.7% of the transform), while
+    # folding it into the first matmul's in-kernel epilogue
+    # (dft_mxu matmul_mod twiddle=...) was bit-exact but 9-11% SLOWER
+    # same-session at 2^18/2^20 (kernel-pipeline cost of the extra resident
+    # operand blocks exceeds the saved traffic).  The epilogue capability
+    # remains available and tested for shapes where the tradeoff differs.
     tw, tws = _large_twiddle(ring, inverse)
     p3 = jnp.asarray(ctx.p_col)[..., None]
     if not inverse:

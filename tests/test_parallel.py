@@ -282,3 +282,34 @@ def test_multiprocess_distributed_ntt():
                        cwd=str(root), capture_output=True, text=True,
                        timeout=1200)
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+@pytest.mark.parametrize("limb,agg", [("u32", 60), ("u64", 124)])
+@pytest.mark.parametrize("axis", [-2, -1])
+def test_dft_mxu_twiddle_epilogue(limb, agg, axis, rng):
+    """matmul_mod's in-kernel Shoup-twiddle epilogue == matmul followed by
+    a separate mulmod_shoup pass (both tiers, both sides)."""
+    from nfllib_tpu.ops import dft_mxu, modops
+    from nfllib_tpu.ring import _np_shoup_vec
+
+    ring = make_ring(256, agg, limb)
+    size = 16
+    m = ring.nmoduli
+    x = rand_residues(ring, rng).reshape(m, size, size)
+    tw = np.empty((m, size, size), dtype=ring.dtype)
+    tws = np.empty((m, size, size), dtype=ring.dtype)
+    for cm in range(m):
+        p = int(ring.moduli[cm])
+        t = rng.integers(0, p, size=(size, size)).astype(np.uint64)
+        tw[cm] = t.astype(ring.dtype)
+        tws[cm] = _np_shoup_vec(t.reshape(-1), p,
+                                ring.repr_bits).reshape(size, size).astype(
+                                    ring.dtype)
+    want = dft_mxu.matmul_mod(x, ring, "dft_fwd", size, axis=axis,
+                              interpret=True)
+    p3 = jnp.asarray(ring.context().p_col)[..., None]
+    want = np.asarray(modops.mulmod_shoup(want, jnp.asarray(tw),
+                                          jnp.asarray(tws), p3))
+    got = np.asarray(dft_mxu.matmul_mod(x, ring, "dft_fwd", size, axis=axis,
+                                        interpret=True, twiddle=(tw, tws)))
+    np.testing.assert_array_equal(got, want)

@@ -12,7 +12,9 @@ scoped-vmem stack), which is why ntt_pallas_u64.supports() caps at 65536.
 
 Run from the repo root: python tools/check_u64_large.py [log2degrees...]
 """
+import json
 import os
+import pathlib
 import sys
 import time
 
@@ -68,6 +70,9 @@ def main():
           flush=True)
     rng = np.random.default_rng(7)
     ok = True
+    artifact = {"backend": jax.default_backend(),
+                "device": jax.devices()[0].device_kind,
+                "nmoduli": 2, "configs": {}}
     for lg in lgs:
         n = 1 << lg
         ring = nfl.Ring("u64", n, 2)
@@ -96,6 +101,15 @@ def main():
         t_jnp = timing(lambda v: jnp_fwd(v, ctx), x, 5)
         print(f"n=2^{lg}: mxu {t_mxu*1e6:.0f} us/app vs jnp "
               f"{t_jnp*1e6:.0f} us ({t_jnp/t_mxu:.2f}x)", flush=True)
+        artifact["configs"][f"2^{lg}"] = {
+            "fwd_eq_jnp": bool(eq), "roundtrip": bool(rt),
+            "mxu_us_per_app": round(t_mxu * 1e6, 1),
+            "jnp_us_per_app": round(t_jnp * 1e6, 1),
+        }
+    artifact["ok"] = bool(ok)
+    root = pathlib.Path(__file__).resolve().parent.parent
+    (root / "U64LARGE.json").write_text(json.dumps(artifact, indent=1)
+                                        + "\n")
     return 0 if ok else 1
 
 
