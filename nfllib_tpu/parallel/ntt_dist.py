@@ -198,9 +198,57 @@ def _dft_lastaxis(x, blocked, blocked_s, size, p_col, rev):
 # distributed transforms
 # ---------------------------------------------------------------------------
 
+def _ppermute_transpose(x, tw, tws, p3, axis_name, d, fwd):
+    """Twiddle + transpose expressed as d-1 point-to-point ppermutes (plus
+    the local block) instead of one all-to-all.
+
+    WHY: on real TPU compilations (AOT-verified against a v5e:2x4
+    topology, tools/check_overlap.py) XLA lowers collective-permute to
+    async `collective-permute-start/done` pairs that the latency-hiding
+    scheduler can overlap with compute, while `all-to-all` stays
+    SYNCHRONOUS — so this is the variant that actually hides the transpose
+    behind the per-block twiddle on hardware.  Each step s twiddles the
+    block destined for device (me + s) and sends it one hop; step s+1's
+    twiddle has no data dependence on step s's transfer, so the scheduler
+    interleaves them.  Total comm volume equals the all-to-all's.
+
+    fwd=True: x [.., m, n1, n2/d] column shard -> [.., m, n1/d, n2] row
+    shard (split axis -2, concat axis -1); fwd=False mirrors it.  Output
+    is bit-identical to jax.lax.all_to_all(tiled=True) on the same
+    operands: the block received from source j lands at slot j of the
+    concat axis."""
+    split_ax, concat_ax = (-2, -1) if fwd else (-1, -2)
+    nsplit = x.shape[split_ax]
+    s_blk = nsplit // d
+    me = jax.lax.axis_index(axis_name).astype(jnp.int32)
+    d32 = jnp.int32(d)
+
+    def blk_at(arr, t):
+        return jax.lax.dynamic_slice_in_dim(arr, t * s_blk, s_blk,
+                                            axis=split_ax)
+
+    out_shape = list(x.shape)
+    out_shape[split_ax] = s_blk
+    out_shape[concat_ax] = x.shape[concat_ax] * d
+    out = jnp.zeros(tuple(out_shape), x.dtype)
+    perm_cache = {}
+    for s in range(d):
+        t = jax.lax.rem(me + jnp.int32(s), d32)  # this block's destination
+        blk = modops.mulmod_shoup(blk_at(x, t), blk_at(tw, t),
+                                  blk_at(tws, t), p3)
+        if s:
+            perm = perm_cache.setdefault(
+                s, [(j, (j + s) % d) for j in range(d)])
+            blk = jax.lax.ppermute(blk, axis_name, perm)
+        src = jax.lax.rem(me - jnp.int32(s) + d32, d32)  # block's sender
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out, blk, src * x.shape[concat_ax], axis=concat_ax)
+    return out
+
+
 def four_step_ntt_local(x, fctx: FourStepContext, col_slice=None,
                         row_slice=None, axis_name=None, n_devices=1,
-                        chunks=1):
+                        chunks=1, transpose="a2a"):
     """Forward four-step pass.  x: [m, n1, n2_local] (column shard when
     axis_name is set, else the full [m, n1, n2]).  Returns [m, n1_local, n2]
     row shard (or full array single-device).
@@ -235,7 +283,11 @@ def four_step_ntt_local(x, fctx: FourStepContext, col_slice=None,
         x = jnp.swapaxes(xt, -1, -2)           # [m, n1, n2l], k1 natural
     tw = jnp.asarray(fctx.twiddle[:, :, cols])
     tws = jnp.asarray(fctx.twiddle_s[:, :, cols])
-    if axis_name is not None and chunks > 1:
+    if axis_name is not None and transpose == "ppermute":
+        assert chunks == 1, "ppermute already pipelines per block"
+        x = _ppermute_transpose(x, tw, tws, p3, axis_name, n_devices,
+                                fwd=True)                   # [m, n1/D, n2]
+    elif axis_name is not None and chunks > 1:
         # 3+4 chunked: per chunk, twiddle the c-th sub-rows of every
         # destination block then transpose them; XLA overlaps the async
         # all-to-all of chunk c with the twiddle of chunk c+1
@@ -276,7 +328,8 @@ def four_step_ntt_local(x, fctx: FourStepContext, col_slice=None,
 
 
 def four_step_intt_local(x, fctx: FourStepContext, row_slice=None,
-                         axis_name=None, n_devices=1, chunks=1):
+                         axis_name=None, n_devices=1, chunks=1,
+                         transpose="a2a"):
     """Inverse of four_step_ntt_local.  x: [m, n1_local, n2] row shard ->
     [m, n1, n2_local] column shard of the coefficient tensor.
 
@@ -301,6 +354,19 @@ def four_step_intt_local(x, fctx: FourStepContext, row_slice=None,
                           n2, fctx.p_col, fctx.rev2)
     itw = jnp.asarray(fctx.itwiddle[:, rows, :])
     itws = jnp.asarray(fctx.itwiddle_s[:, rows, :])
+    if axis_name is not None and transpose == "ppermute":
+        assert chunks == 1, "ppermute already pipelines per block"
+        x = _ppermute_transpose(x, itw, itws, p3, axis_name, n_devices,
+                                fwd=False)                  # [m, n1, n2/D]
+        if mod is not None:
+            x = mod.dft_along(x, ring, n1, axis=-2, inverse=True)
+        else:
+            xt = jnp.swapaxes(x, -1, -2)
+            xt = _dft_lastaxis(xt, jnp.asarray(fctx.col_iw),
+                               jnp.asarray(fctx.col_iws),
+                               n1, fctx.p_col, fctx.rev1)
+            x = jnp.swapaxes(xt, -1, -2)
+        return x, None
     if axis_name is not None and chunks > 1:
         m_, n1l, _ = x.shape[-3:]
         d = n_devices
@@ -385,7 +451,7 @@ class _TableView:
 
 @functools.lru_cache(maxsize=None)
 def _build_dist_fwd(ring: Ring, mesh: Mesh, n1: int, deg_axis: str,
-                    ndim: int, chunks: int = 1):
+                    ndim: int, chunks: int = 1, transpose: str = "a2a"):
     """Cached jitted forward transform (one compile per shape family).
 
     The [m, n1, n2] elementwise tables (phi twist + four-step twiddle) are
@@ -410,7 +476,8 @@ def _build_dist_fwd(ring: Ring, mesh: Mesh, n1: int, deg_axis: str,
         f = _TableView(fctx, phis=phis, shoupphis=shoupphis,
                        twiddle=twiddle, twiddle_s=twiddle_s)
         return four_step_ntt_local(xb, f, col_slice=None, axis_name=deg_axis,
-                                   n_devices=d, chunks=chunks)
+                                   n_devices=d, chunks=chunks,
+                                   transpose=transpose)
 
     spec = P(*([None] * (ndim - 1) + [deg_axis]))
     out_spec = P(*([None] * (ndim - 2) + [deg_axis, None]))
@@ -422,7 +489,8 @@ def _build_dist_fwd(ring: Ring, mesh: Mesh, n1: int, deg_axis: str,
 
 
 def distributed_ntt_pow_phi(x, ring: Ring, mesh: Mesh, *, n1=None,
-                            deg_axis: str = "deg", chunks: int = 1):
+                            deg_axis: str = "deg", chunks: int = 1,
+                            transpose: str = "a2a"):
     """Forward negacyclic transform of [..., m, n] sharded over `deg_axis`.
 
     Returns the four-step layout [..., m, n1, n2] with rows (k1) sharded.
@@ -438,13 +506,14 @@ def distributed_ntt_pow_phi(x, ring: Ring, mesh: Mesh, *, n1=None,
     if chunks > 1:
         assert n1 % (d * chunks) == 0, "chunks must divide the row blocks"
     xr = x.reshape(x.shape[:-1] + (n1, n2))
-    fn = _build_dist_fwd(ring, mesh, n1, deg_axis, xr.ndim, chunks)
+    fn = _build_dist_fwd(ring, mesh, n1, deg_axis, xr.ndim, chunks,
+                         transpose)
     return fn(xr)
 
 
 @functools.lru_cache(maxsize=None)
 def _build_dist_inv(ring: Ring, mesh: Mesh, n1: int, deg_axis: str,
-                    ndim: int, chunks: int = 1):
+                    ndim: int, chunks: int = 1, transpose: str = "a2a"):
     n = ring.degree
     n2 = n // n1
     fctx = get_four_step_context(ring, n1, n2)
@@ -467,7 +536,7 @@ def _build_dist_inv(ring: Ring, mesh: Mesh, n1: int, deg_axis: str,
                        ivp=ivp, ivp_s=ivp_s)
         xb, _ = four_step_intt_local(yb, f, row_slice=None,
                                      axis_name=deg_axis, n_devices=d,
-                                     chunks=chunks)
+                                     chunks=chunks, transpose=transpose)
         return _untwist(xb, f, None, p3)
 
     spec = P(*([None] * (ndim - 2) + [deg_axis, None]))
@@ -481,7 +550,8 @@ def _build_dist_inv(ring: Ring, mesh: Mesh, n1: int, deg_axis: str,
 
 
 def distributed_invntt_pow_invphi(y, ring: Ring, mesh: Mesh, *, n1=None,
-                                  deg_axis: str = "deg", chunks: int = 1):
+                                  deg_axis: str = "deg", chunks: int = 1,
+                                  transpose: str = "a2a"):
     """Inverse of distributed_ntt_pow_phi: [..., m, n1(sharded), n2] four-step
     layout -> coefficient tensor [..., m, n] sharded over the degree axis."""
     n = ring.degree
@@ -491,7 +561,8 @@ def distributed_invntt_pow_invphi(y, ring: Ring, mesh: Mesh, *, n1=None,
         d = mesh.shape[deg_axis]
         assert (n // n1) % (d * chunks) == 0, \
             "chunks must divide the column blocks"
-    fn = _build_dist_inv(ring, mesh, n1, deg_axis, y.ndim, chunks)
+    fn = _build_dist_inv(ring, mesh, n1, deg_axis, y.ndim, chunks,
+                         transpose)
     out = fn(y)
     return out.reshape(out.shape[:-2] + (n,))
 

@@ -313,3 +313,40 @@ def test_dft_mxu_twiddle_epilogue(limb, agg, axis, rng):
     got = np.asarray(dft_mxu.matmul_mod(x, ring, "dft_fwd", size, axis=axis,
                                         interpret=True, twiddle=(tw, tws)))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("degree,agg,limb,ndev", [
+    (1024, 60, "u32", 4),
+    (256, 124, "u64", 2),
+    (4096, 124, "u64", 8),
+])
+def test_ppermute_transpose_variant(degree, agg, limb, ndev, rng):
+    """transpose="ppermute" (the variant whose collectives XLA async-ifies
+    on real TPUs — tools/check_overlap.py) is bit-identical to the
+    all-to-all path, forward and inverse."""
+    ring = make_ring(degree, agg, limb)
+    mesh = _mesh((ndev,), ("deg",))
+    x = rand_residues(ring, rng)
+    xd = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(None, "deg")))
+    want = np.asarray(ntt_dist.distributed_ntt_pow_phi(xd, ring, mesh))
+    y = ntt_dist.distributed_ntt_pow_phi(xd, ring, mesh,
+                                         transpose="ppermute")
+    np.testing.assert_array_equal(np.asarray(y), want)
+    back = np.asarray(ntt_dist.distributed_invntt_pow_invphi(
+        y, ring, mesh, transpose="ppermute"))
+    np.testing.assert_array_equal(back, x)
+    # the transform's transpose really became ppermutes: vs the a2a path
+    # the program drops exactly the one transform all-to-all (any input
+    # RESHARDING all-to-all at the jit boundary appears in both) and gains
+    # the d-1 collective-permutes
+    def a2a_count(hlo):
+        return hlo.count(" all-to-all(") + hlo.count("all-to-all-start(")
+
+    with mesh:
+        base = jax.jit(lambda v: ntt_dist.distributed_ntt_pow_phi(
+            v, ring, mesh)).lower(xd).compile().as_text()
+        hlo = jax.jit(lambda v: ntt_dist.distributed_ntt_pow_phi(
+            v, ring, mesh, transpose="ppermute")).lower(
+                xd).compile().as_text()
+    assert a2a_count(hlo) == a2a_count(base) - 1
+    assert hlo.count("collective-permute") >= ndev - 1

@@ -115,13 +115,174 @@ def check_config(cfg, limb, degree, modbits):
     return res
 
 
+def check_dft_mxu_u32():
+    """Compiled u32 dft_mxu kernel coverage on the real chip (round-3
+    VERDICT item 3): left+right, forward+inverse at sizes 128/512/1024 —
+    compiled == interpret per kernel, and the mesh-free four-step transform
+    built on these kernels (what the distributed u32 path runs per device)
+    reproduces the Harvey kernel's output under the documented reorder."""
+    import jax.numpy as jnp
+
+    from nfllib_tpu.ops import dft_mxu
+    from nfllib_tpu.ops import ntt as ntt_mod
+    from nfllib_tpu.parallel import ntt_dist
+    from nfllib_tpu.utils import bitrev_indices
+
+    ring = ring_from_modulus("u32", 1 << 14, 60)
+    m = ring.nmoduli
+    rng = np.random.default_rng(3)
+    res = {}
+    ok = True
+    for size in (128, 512, 1024):
+        other = 512
+        t0 = time.time()
+        size_ok = True
+        for axis in (-2, -1):
+            shape = (m, size, other) if axis == -2 else (m, other, size)
+            x = np.empty(shape, dtype=ring.dtype)
+            for cm in range(m):
+                x[cm] = rng.integers(0, int(ring.moduli[cm]), shape[1:])
+            for inv in (False, True):
+                c = np.asarray(dft_mxu.dft_along(
+                    x, ring, size, axis=axis, inverse=inv,
+                    interpret=False))
+                i = np.asarray(dft_mxu.dft_along(
+                    x, ring, size, axis=axis, inverse=inv, interpret=True))
+                size_ok = size_ok and np.array_equal(c, i)
+        res[f"size{size}"] = {"compiled_eq_interpret": bool(size_ok),
+                              "seconds": round(time.time() - t0, 1)}
+        ok = ok and size_ok
+        print(f"dft_mxu u32 size={size:5d} c==i={size_ok} "
+              f"({res[f'size{size}']['seconds']}s)", flush=True)
+
+    # four-step on the compiled kernels vs the Harvey kernel's output:
+    # harvey[j] = E[bitrev_n(j)], four[k1,k2] = E[k1 + n1*k2]
+    n = ring.degree
+    n1 = 128
+    x = np.empty((m, n), dtype=ring.dtype)
+    for cm in range(m):
+        x[cm] = rng.integers(0, int(ring.moduli[cm]), n)
+    four = np.asarray(ntt_dist.four_step_reference(x, ring, n1))
+    harvey = np.asarray(ntt_mod.ntt_pow_phi(x, ring.context()))
+    rev = bitrev_indices(n)
+    E = four.reshape(m, n1, n // n1).transpose(0, 2, 1).reshape(m, n)
+    fs_ok = bool(np.array_equal(harvey, E[:, rev]))
+    back = np.asarray(ntt_dist.four_step_reference_inverse(
+        jnp.asarray(four), ring, n1))
+    rt_ok = bool(np.array_equal(back, x))
+    res["four_step_eq_harvey"] = fs_ok
+    res["four_step_roundtrip"] = rt_ok
+    ok = ok and fs_ok and rt_ok
+    print(f"dft_mxu u32 four-step: eq_harvey={fs_ok} rt={rt_ok}",
+          flush=True)
+    return res, ok
+
+
+def _chain_time(fn, x, K):
+    """Chain-differenced per-application device time (tunnel RTT cancels)."""
+    import jax.numpy as jnp
+
+    jf = jax.jit(lambda v, k: jax.lax.fori_loop(
+        0, k, lambda i, vv: fn(vv), v))
+    xd = jnp.asarray(x)
+    _ = np.asarray(jax.tree_util.tree_leaves(jf(xd, 1))[0].reshape(-1)[:1])
+
+    def one(kk):
+        t0 = time.perf_counter()
+        o = jf(xd, kk)
+        _ = np.asarray(jax.tree_util.tree_leaves(o)[0].reshape(-1)[:1])
+        return time.perf_counter() - t0
+
+    best = float("inf")
+    for _ in range(4):
+        t1 = tk = float("inf")
+        for _ in range(4):
+            t1 = min(t1, one(1))
+            tk = min(tk, one(K))
+        d = (tk - t1) / (K - 1)
+        if d > 0:
+            best = min(best, d)
+    return best if best < float("inf") else float("nan")
+
+
+def time_four_step():
+    """A/B the mesh-free four-step path (= the distributed path's per-chip
+    work) against the single-chip Harvey dispatch, plus the twiddle stage
+    alone — the scaling model's compute inputs (round-3 VERDICT items 1/3/
+    weak-5: this overhead was previously assumed zero)."""
+    import jax.numpy as jnp
+
+    from nfllib_tpu.ops import modops
+    from nfllib_tpu.ops import ntt as ntt_mod
+    from nfllib_tpu.parallel import ntt_dist
+
+    out = {}
+    rng = np.random.default_rng(5)
+    for label, limb, lg, modbits, K in (
+            ("u32_2^14", "u32", 14, 60, 129),
+            ("u64_2^18", "u64", 18, 124, 17),
+            ("u64_2^20", "u64", 20, 124, 9)):
+        ring = ring_from_modulus(limb, 1 << lg, modbits)
+        n = ring.degree
+        n1 = 1 << (lg // 2)
+        x = np.empty((ring.nmoduli, n), dtype=ring.dtype)
+        for cm in range(ring.nmoduli):
+            x[cm] = rng.integers(0, int(ring.moduli[cm]), n)
+        ctx = ring.context()
+        fctx = ntt_dist.get_four_step_context(ring, n1, n // n1)
+
+        def harvey(v):
+            return ntt_mod.ntt_pow_phi(v, ctx)
+
+        def four(v):
+            y = ntt_dist.four_step_reference(v, ring, n1)
+            return y.reshape(v.shape)
+
+        tw = jnp.asarray(fctx.twiddle)
+        tws = jnp.asarray(fctx.twiddle_s)
+        p3 = jnp.asarray(fctx.p_col)[..., None]
+
+        def twiddle_only(v):
+            y = modops.mulmod_shoup(v.reshape(v.shape[:-1] + tw.shape[-2:]),
+                                    tw, tws, p3)
+            return y.reshape(v.shape)
+
+        t_h = _chain_time(harvey, x, K)
+        t_f = _chain_time(four, x, K)
+        t_t = _chain_time(twiddle_only, x, max(K, 129))
+
+        def us(t):  # None for below-measurement-floor rows (strict JSON)
+            return round(t * 1e6, 1) if np.isfinite(t) else None
+
+        out[label] = {
+            "nmoduli": ring.nmoduli,
+            "harvey_us_per_app": us(t_h),
+            "four_step_us_per_app": us(t_f),
+            "twiddle_stage_us": us(t_t),
+            "four_step_overhead_x": round(t_f / t_h, 3)
+            if np.isfinite(t_f / t_h) else None,
+        }
+        print(f"{label}: harvey {t_h*1e6:.0f} us, four-step {t_f*1e6:.0f} "
+              f"us ({t_f/t_h:.2f}x), twiddle stage {t_t*1e6:.0f} us",
+              flush=True)
+    return out
+
+
 def main():
     quick = "--quick" in sys.argv
-    configs = CONFIGS[:3] if quick else CONFIGS
+    dft_only = "--dft-only" in sys.argv
+    time_only = "--time-only" in sys.argv
+    configs = [] if (dft_only or time_only) \
+        else (CONFIGS[:3] if quick else CONFIGS)
+    prev = {}
+    path = pathlib.Path(__file__).resolve().parent.parent / \
+        "ONCHIP_CHECK.json"
+    if (dft_only or time_only) and path.exists():
+        prev = json.loads(path.read_text())   # keep prior sections
     out = {
         "backend": jax.default_backend(),
         "device": jax.devices()[0].device_kind,
-        "configs": {},
+        "configs": prev.get("configs", {}),
     }
     ok = out["backend"] == "tpu"
     if not ok:
@@ -136,9 +297,14 @@ def main():
               f"ntt={res['ntt_golden']} intt={res['intt_golden']} "
               f"rt={res['roundtrip']} c==i={res['compiled_eq_interpret']} "
               f"({res['seconds']}s)", flush=True)
+    if time_only:
+        out["dft_mxu_u32"] = prev.get("dft_mxu_u32", {})
+    else:
+        dft_res, dft_ok = check_dft_mxu_u32()
+        out["dft_mxu_u32"] = dft_res
+        ok = ok and dft_ok
+    out["four_step_timing"] = time_four_step()
     out["ok"] = bool(ok)
-    path = pathlib.Path(__file__).resolve().parent.parent / \
-        "ONCHIP_CHECK.json"
     path.write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps({"onchip_ok": out["ok"]}))
     return 0 if ok else 1
