@@ -226,18 +226,32 @@ def _combine_parts_u64(r_lo, r_hi, chi, chis, corr, p, strict):
 
 
 def _kernel_u32(left, size, other, rblk, ndig, bias, strict, twiddle,
+                dig_cache,
                 x_ref, w_ref, corr_ref, sh_ref, p_ref, *rest):
     if twiddle:
-        tw_ref, tws_ref, o_ref, acc_ref = rest
+        tw_ref, tws_ref, o_ref, acc_ref, dig_ref = rest
     else:
-        o_ref, acc_ref = rest
+        o_ref, acc_ref, dig_ref = rest
+    rb = pl.program_id(3)
     a = pl.program_id(4)
     p = p_ref[0, 0, 0]
     shape = (size, other) if left else (other, size)
     oshape = (rblk, other) if left else (other, rblk)
-    x = x_ref[...].reshape(shape).astype(jnp.uint32)
-    xd = _digitize_offset_u32(x, ndig)
     bconst = jnp.int32(bias)
+
+    # the x block stays resident across the (rb, a) grid steps; digitize it
+    # ONCE into int8 scratch instead of nrb*ndig times (the digitize is
+    # pure VPU work and the kernels are VPU-bound)
+    if dig_cache:
+        @pl.when((a == 0) & (rb == 0))
+        def _():
+            x = x_ref[...].reshape(shape).astype(jnp.uint32)
+            for b, d in enumerate(_digitize_offset_u32(x, ndig)):
+                dig_ref[b] = d
+        xd = [dig_ref[b] for b in range(ndig)]
+    else:
+        x = x_ref[...].reshape(shape).astype(jnp.uint32)
+        xd = _digitize_offset_u32(x, ndig)
 
     @pl.when(a == 0)
     def _():
@@ -300,20 +314,32 @@ def _kernel_u32(left, size, other, rblk, ndig, bias, strict, twiddle,
 
 
 def _kernel_u64(left, size, other, rblk, ndig, bias, strict, twiddle,
+                dig_cache,
                 xh_ref, xl_ref, w_ref, ch_ref, cl_ref, smh_ref, sml_ref,
                 *rest):
     if twiddle:
         (twh_ref, twl_ref, twsh_ref, twsl_ref,
-         oh_ref, ol_ref, acc_ref) = rest
+         oh_ref, ol_ref, acc_ref, dig_ref) = rest
     else:
-        oh_ref, ol_ref, acc_ref = rest
+        oh_ref, ol_ref, acc_ref, dig_ref = rest
+    rb = pl.program_id(3)
     a = pl.program_id(4)
     p = (smh_ref[0, 0, 0], sml_ref[0, 0, 0])
     shape = (size, other) if left else (other, size)
     oshape = (rblk, other) if left else (other, rblk)
-    x = (xh_ref[...].reshape(shape), xl_ref[...].reshape(shape))
-    xd = _digitize_offset_u64(x, ndig)
     bconst = jnp.int32(bias)
+
+    # digitize the resident x block once per (rb, a) sweep (see _kernel_u32)
+    if dig_cache:
+        @pl.when((a == 0) & (rb == 0))
+        def _():
+            x = (xh_ref[...].reshape(shape), xl_ref[...].reshape(shape))
+            for b, d in enumerate(_digitize_offset_u64(x, ndig)):
+                dig_ref[b] = d
+        xd = [dig_ref[b] for b in range(ndig)]
+    else:
+        x = (xh_ref[...].reshape(shape), xl_ref[...].reshape(shape))
+        xd = _digitize_offset_u64(x, ndig)
 
     @pl.when(a == 0)
     def _():
@@ -418,7 +444,7 @@ def _row_block(size, oblk):
 
 @functools.lru_cache(maxsize=None)
 def _build_u32(ring, size, provider, left, other, interpret, strict=True,
-               twiddle=False):
+               twiddle=False, dig_cache=True):
     planes, corr, consts, bias, ndig = _custom_tables(ring, provider, size,
                                                       left)
     m = ring.nmoduli
@@ -438,6 +464,7 @@ def _build_u32(ring, size, provider, left, other, interpret, strict=True,
         wshape = (1, 1, rblk, size)
         wmap = lambda c, b, ob, rb, a: (c, a, rb, _I0)
         accshape = (4, rblk, oblk)
+        digshape = (ndig, size, oblk)
     else:
         xshape = (1, 1, oblk, size)
         xmap = lambda c, b, ob, rb, a: (b, c, ob, _I0)
@@ -446,6 +473,7 @@ def _build_u32(ring, size, provider, left, other, interpret, strict=True,
         wshape = (1, 1, size, rblk)
         wmap = lambda c, b, ob, rb, a: (c, a, _I0, rb)
         accshape = (4, oblk, rblk)
+        digshape = (ndig, oblk, size)
 
     # twiddle epilogue blocks mirror the OUTPUT block's [m, r, c] indexing
     if left:
@@ -461,7 +489,7 @@ def _build_u32(ring, size, provider, left, other, interpret, strict=True,
         assert len(tw2) == (2 if twiddle else 0)
         return pl.pallas_call(
             functools.partial(_kernel_u32, left, size, oblk, rblk, ndig,
-                              bias, strict, twiddle),
+                              bias, strict, twiddle, dig_cache),
             grid=(m, B, nob, nrb, ndig),
             in_specs=[
                 pl.BlockSpec(xshape, xmap, memory_space=pltpu.VMEM),
@@ -478,7 +506,8 @@ def _build_u32(ring, size, provider, left, other, interpret, strict=True,
             ] + [spec_tw] * len(tw2),
             out_specs=pl.BlockSpec(oshape, omap, memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(xb.shape, ring.dtype),
-            scratch_shapes=[pltpu.VMEM(accshape, jnp.uint32)],
+            scratch_shapes=[pltpu.VMEM(accshape, jnp.uint32),
+                            pltpu.VMEM(digshape, jnp.int8)],
             interpret=interpret,
         )(xb, jnp.asarray(planes), jnp.asarray(corr32), jnp.asarray(sh),
           jnp.asarray(p_vec), *tw2)
@@ -488,7 +517,7 @@ def _build_u32(ring, size, provider, left, other, interpret, strict=True,
 
 @functools.lru_cache(maxsize=None)
 def _build_u64(ring, size, provider, left, other, interpret, strict=True,
-               twiddle=False):
+               twiddle=False, dig_cache=True):
     planes, corr, consts, bias, ndig = _custom_tables(ring, provider, size,
                                                       left)
     m = ring.nmoduli
@@ -514,6 +543,7 @@ def _build_u64(ring, size, provider, left, other, interpret, strict=True,
         wshape = (1, 1, rblk, size)
         wmap = lambda c, b, ob, rb, a: (c, a, rb, _I0)
         accshape = (6, rblk, oblk)
+        digshape = (ndig, size, oblk)
     else:
         xshape = (1, 1, oblk, size)
         xmap = lambda c, b, ob, rb, a: (b, c, ob, _I0)
@@ -522,6 +552,7 @@ def _build_u64(ring, size, provider, left, other, interpret, strict=True,
         wshape = (1, 1, size, rblk)
         wmap = lambda c, b, ob, rb, a: (c, a, _I0, rb)
         accshape = (6, oblk, rblk)
+        digshape = (ndig, oblk, size)
 
     # twiddle epilogue blocks mirror the OUTPUT block's [m, r, c] indexing
     # (their index map ignores the plane axis `a`, so the pipeline keeps
@@ -542,7 +573,7 @@ def _build_u64(ring, size, provider, left, other, interpret, strict=True,
         assert len(tw4) == (4 if twiddle else 0)
         return pl.pallas_call(
             functools.partial(_kernel_u64, left, size, oblk, rblk, ndig,
-                              bias, strict, twiddle),
+                              bias, strict, twiddle, dig_cache),
             grid=(m, B, nob, nrb, ndig),
             in_specs=[
                 spec_x, spec_x,
@@ -562,7 +593,8 @@ def _build_u64(ring, size, provider, left, other, interpret, strict=True,
             ] + [spec_tw] * len(tw4),
             out_specs=[spec_o, spec_o],
             out_shape=[out_sd, out_sd],
-            scratch_shapes=[pltpu.VMEM(accshape, jnp.uint32)],
+            scratch_shapes=[pltpu.VMEM(accshape, jnp.uint32),
+                            pltpu.VMEM(digshape, jnp.int8)],
             interpret=interpret,
         )(xbh, xbl, jnp.asarray(planes), jnp.asarray(ch), jnp.asarray(cl),
           jnp.asarray(smh), jnp.asarray(sml), *tw4)
@@ -575,7 +607,7 @@ def _build_u64(ring, size, provider, left, other, interpret, strict=True,
 # ---------------------------------------------------------------------------
 
 def matmul_mod(x, ring, provider: str, size: int, *, axis: int,
-               interpret=None, twiddle=None):
+               interpret=None, twiddle=None, dig_cache=True):
     """Square mod-matmul by the provider's per-channel [size, size] matrix
     along `axis` (-2: left, M @ X contracting the sublane axis; -1: right,
     X @ M) of [..., m, r, c] residue tensors.  Fused int8 MXU kernel,
@@ -602,7 +634,8 @@ def matmul_mod(x, ring, provider: str, size: int, *, axis: int,
         xbh = (xb >> jnp.uint64(32)).astype(jnp.uint32)
         xbl = xb.astype(jnp.uint32)
         call = _build_u64(ring, size, provider, left, other,
-                          bool(interpret), twiddle=twiddle is not None)
+                          bool(interpret), twiddle=twiddle is not None,
+                          dig_cache=dig_cache)
         tw4 = ()
         if twiddle is not None:
             tw, tws = (jnp.asarray(t) for t in twiddle)
@@ -615,7 +648,8 @@ def matmul_mod(x, ring, provider: str, size: int, *, axis: int,
             jnp.uint64)
     else:
         call = _build_u32(ring, size, provider, left, other,
-                          bool(interpret), twiddle=twiddle is not None)
+                          bool(interpret), twiddle=twiddle is not None,
+                          dig_cache=dig_cache)
         tw2 = ()
         if twiddle is not None:
             tw2 = tuple(jnp.asarray(t).astype(ring.dtype) for t in twiddle)
