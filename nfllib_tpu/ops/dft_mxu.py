@@ -17,10 +17,12 @@ Differences from the single-chip kernels, driven by the distributed shapes:
     split), where the single-chip kernels' pre-scaled layout (ndig^2 planes)
     would need 16-64 MB of VMEM.  Here W decomposes into just ndig balanced
     planes (4 MB u32 / 8 MB u64 at size 1024), streamed ONE PLANE PER GRID
-    STEP, and the biased digit cross products fold incrementally into
-    exact carry-tracked multi-word accumulators in VMEM scratch; the final
-    step runs a two-part Barrett recombination (lo/hi halves combined by
-    one Shoup multiply with 2^(8*ndig) mod p).
+    STEP, and the digit cross products fold into per-k int32 GROUP
+    accumulators in VMEM scratch (one add per partial — the kernels are
+    VPU-bound and the per-partial carry chains were the dominant cost);
+    the final step packs the biased groups into exact multi-word values
+    once and runs a two-part Barrett recombination (lo/hi halves combined
+    by one Shoup multiply with 2^(8*ndig) mod p).
   * Offset-byte digitize for X (d = byte - 128, no carries); the constant
     under-count has the closed form 128 * S * rowsum(Wd) with
     S = sum_b 2^(8b), folded into one correction vector per table together
@@ -174,12 +176,12 @@ def _custom_tables(ring, provider: str, size: int, left: bool):
 # The W digit-plane table is the VMEM limiter (ndig * size^2 int8 = 8 MB at
 # u64/size 1024, double-buffered by the pipeline).  The plane index `a` is
 # therefore the INNERMOST grid dimension: each step holds one [size, size]
-# plane (1 MB), runs its ndig dots against the offset-byte digits of x, and
-# folds the biased partial products into persistent VMEM scratch
-# accumulators; the final step finishes the two-part Barrett recombination
-# and writes the output block.  Accumulation is EXACT multi-word arithmetic
-# with carry tracking (not the single-chip kernels' floored-shift shortcut,
-# whose slack budget would not survive per-partial folding).
+# plane (1 MB), runs its ndig dots against the offset-byte digits of x
+# (cached int8 in scratch, computed once per resident block), and folds
+# each partial into its per-k int32 group accumulator with ONE add; the
+# final step packs the biased groups into exact multi-word values (carry
+# chains run once, not per partial) and finishes the two-part Barrett
+# recombination before writing the output block.
 # ---------------------------------------------------------------------------
 
 def _digitize_offset_u32(x, ndig):
@@ -257,8 +259,11 @@ def _kernel_u32(left, size, other, rblk, ndig, bias, strict, twiddle,
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # fold this plane's ndig biased partials into (lo, hi) per part,
-    # carries tracked exactly
+    # GROUP-SUM accumulation (round 4): each (a, b) partial folds into the
+    # int32 group accumulator G_{a+b} with ONE add — |G_k| <= n_k * 128^2 *
+    # size <= 4 * 2^(bias_bits) fits int32 — and the multi-word pack with
+    # its carry chains runs ONCE in the final step instead of per partial
+    # (the kernels are VPU-bound; this was the dominant per-element cost)
     for b in range(ndig):
         if left:
             s = jax.lax.dot_general(
@@ -268,37 +273,39 @@ def _kernel_u32(left, size, other, rblk, ndig, bias, strict, twiddle,
             s = jax.lax.dot_general(
                 xd[b], w_ref[0, 0], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
-        g = (s + bconst).astype(jnp.uint32)      # per-partial bias
-        # k = a + b is traced (a is a grid index): branch on residue via
-        # where-selects over the static b and the dynamic part/shift
-        for apos in range(ndig):                 # static unroll over a
+        # k = a + b is traced (a is a grid index): static unroll over a
+        for apos in range(ndig):
             @pl.when(a == apos)
-            def _(apos=apos, g=g, b=b):
-                k = apos + b
-                part, kk = (0, k) if k < ndig else (1, k - ndig)
-                lo = acc_ref[2 * part]
-                hi = acc_ref[2 * part + 1]
-                add = g if kk == 0 else (g << (8 * kk))
-                lon = lo + add
-                carry = (lon < lo).astype(jnp.uint32)
-                hin = hi + carry
-                if kk:
-                    hin = hin + (g >> (32 - 8 * kk))
-                acc_ref[2 * part] = lon
-                acc_ref[2 * part + 1] = hin
+            def _(apos=apos, s=s, b=b):
+                acc_ref[apos + b] = acc_ref[apos + b] + s
 
     @pl.when(a == ndig - 1)
     def _():
         m60 = sh_ref[0, 0, 0]
         chi = sh_ref[0, 0, 1]
         chis = sh_ref[0, 0, 2]
+        # n_k biased group values: g'_k = G_k + n_k * bias >= 0 (bias =
+        # max |partial|), g'_k < 2^(bias_bits + 3); the bias over-count
+        # sum_k 2^(8k) n_k bias = bias * S^2 is already folded into corr
+        nk = [min(k + 1, 2 * ndig - 1 - k, ndig) for k in range(2 * ndig - 1)]
+        g = [(acc_ref[k] + jnp.int32(nk[k]) * bconst).astype(jnp.uint32)
+             for k in range(2 * ndig - 1)]
+        g.append(jnp.zeros_like(g[0]))           # pad part1 to ndig groups
         rs = []
         for part in range(2):
-            lo = acc_ref[2 * part]
-            hi = acc_ref[2 * part + 1]
-            a28 = (hi << 4) | (lo >> 28)         # exact floor(v/2^28)
+            g0, g1, g2, g3 = g[4 * part:4 * part + 4]
+            # exact (hi, lo) of v = g0 + 2^8 g1 + 2^16 g2 + 2^24 g3
+            hi = (g1 >> 24) + (g2 >> 16) + (g3 >> 8)
+            lo = g0 + (g1 << 8)
+            c = (lo < g0).astype(jnp.uint32)
+            lo1 = lo + (g2 << 16)
+            c = c + (lo1 < lo).astype(jnp.uint32)
+            lo2 = lo1 + (g3 << 24)
+            c = c + (lo2 < lo1).astype(jnp.uint32)
+            hi = hi + c
+            a28 = (hi << 4) | (lo2 >> 28)        # exact floor(v/2^28)
             q = modops._mulhi_u32(a28, m60)
-            rs.append(lo - q * p)                # < 3p (exact a28)
+            rs.append(lo2 - q * p)               # < 3p (exact a28)
         corr = corr_ref[0] if not left else corr_ref[0].reshape(rblk, 1)
         # with a twiddle epilogue the combine may stay lazy (< 2p): the
         # Shoup multiplier accepts any 32-bit multiplicand
@@ -345,6 +352,10 @@ def _kernel_u64(left, size, other, rblk, ndig, bias, strict, twiddle,
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    # GROUP-SUM accumulation: one int32 add per (a, b) partial into G_{a+b}
+    # (|G_k| <= 8 * 128^2 * size <= 2^27 at size 1024); the exact
+    # three-word pack + carry chains run ONCE in the final step (see
+    # _kernel_u32 — this was the dominant VPU cost)
     for b in range(ndig):
         if left:
             s = jax.lax.dot_general(
@@ -354,48 +365,45 @@ def _kernel_u64(left, size, other, rblk, ndig, bias, strict, twiddle,
             s = jax.lax.dot_general(
                 xd[b], w_ref[0, 0], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
-        g = (s + bconst).astype(jnp.uint32)
         for apos in range(ndig):
             @pl.when(a == apos)
-            def _(apos=apos, g=g, b=b):
-                k = apos + b
-                part, kk = (0, k) if k < ndig else (1, k - ndig)
-                w0 = acc_ref[3 * part]
-                w1 = acc_ref[3 * part + 1]
-                w2 = acc_ref[3 * part + 2]
-                if kk < 4:
-                    add = g if kk == 0 else (g << (8 * kk))
-                    w0n = w0 + add
-                    c0 = (w0n < w0).astype(jnp.uint32)
-                    inc1 = c0 if kk == 0 else c0 + (g >> (32 - 8 * kk))
-                    w1n = w1 + inc1
-                    c1 = (w1n < w1).astype(jnp.uint32)
-                    acc_ref[3 * part] = w0n
-                    acc_ref[3 * part + 1] = w1n
-                    acc_ref[3 * part + 2] = w2 + c1
-                else:
-                    j = kk - 4
-                    add = g if j == 0 else (g << (8 * j))
-                    w1n = w1 + add
-                    c1 = (w1n < w1).astype(jnp.uint32)
-                    inc2 = c1 if j == 0 else c1 + (g >> (32 - 8 * j))
-                    acc_ref[3 * part + 1] = w1n
-                    acc_ref[3 * part + 2] = w2 + inc2
+            def _(apos=apos, s=s, b=b):
+                acc_ref[apos + b] = acc_ref[apos + b] + s
 
     @pl.when(a == ndig - 1)
     def _():
         mbar = (smh_ref[0, 0, 1], sml_ref[0, 0, 1])
         chi = (smh_ref[0, 0, 2], sml_ref[0, 0, 2])
         chis = (smh_ref[0, 0, 3], sml_ref[0, 0, 3])
+        # biased group values g'_k = G_k + n_k * bias >= 0, < 2^(bb + 4)
+        nk = [min(k + 1, 2 * ndig - 1 - k, ndig) for k in range(2 * ndig - 1)]
+        g = [(acc_ref[k] + jnp.int32(nk[k]) * bconst).astype(jnp.uint32)
+             for k in range(2 * ndig - 1)]
+        g.append(jnp.zeros_like(g[0]))           # pad part1 to ndig groups
         rs = []
         for part in range(2):
-            w0 = acc_ref[3 * part]
-            w1 = acc_ref[3 * part + 1]
-            w2 = acc_ref[3 * part + 2]
-            a60 = (w2 << 4) | (w1 >> 28)         # exact floor(v/2^60)
+            g0, g1, g2, g3, g4, g5, g6, g7 = g[8 * part:8 * part + 8]
+            # exact (w2, w1, w0) of v = sum_k 2^(8k) g_k, k = 0..7
+            w0 = g0 + (g1 << 8)
+            c0 = (w0 < g0).astype(jnp.uint32)
+            w0a = w0 + (g2 << 16)
+            c0 = c0 + (w0a < w0).astype(jnp.uint32)
+            w0b = w0a + (g3 << 24)
+            c0 = c0 + (w0b < w0a).astype(jnp.uint32)
+            base = (g1 >> 24) + (g2 >> 16) + (g3 >> 8) + c0
+            w1 = base + g4
+            c1 = (w1 < base).astype(jnp.uint32)
+            w1a = w1 + (g5 << 8)
+            c1 = c1 + (w1a < w1).astype(jnp.uint32)
+            w1b = w1a + (g6 << 16)
+            c1 = c1 + (w1b < w1a).astype(jnp.uint32)
+            w1c = w1b + (g7 << 24)
+            c1 = c1 + (w1c < w1b).astype(jnp.uint32)
+            w2 = (g5 >> 24) + (g6 >> 16) + (g7 >> 8) + c1
+            a60 = (w2 << 4) | (w1c >> 28)        # exact floor(v/2^60)
             z = jnp.zeros_like(a60)
             q = p_mulhi((z, a60), mbar)[1]
-            rs.append(p_sub((w1, w0), p_mullo((z, q), p)))   # < 3p
+            rs.append(p_sub((w1c, w0b), p_mullo((z, q), p)))   # < 3p
         if left:
             corr = (ch_ref[0].reshape(rblk, 1), cl_ref[0].reshape(rblk, 1))
         else:
@@ -463,7 +471,7 @@ def _build_u32(ring, size, provider, left, other, interpret, strict=True,
         omap = lambda c, b, ob, rb, a: (b, c, rb, ob)
         wshape = (1, 1, rblk, size)
         wmap = lambda c, b, ob, rb, a: (c, a, rb, _I0)
-        accshape = (4, rblk, oblk)
+        accshape = (2 * ndig - 1, rblk, oblk)
         digshape = (ndig, size, oblk)
     else:
         xshape = (1, 1, oblk, size)
@@ -472,7 +480,7 @@ def _build_u32(ring, size, provider, left, other, interpret, strict=True,
         omap = lambda c, b, ob, rb, a: (b, c, ob, rb)
         wshape = (1, 1, size, rblk)
         wmap = lambda c, b, ob, rb, a: (c, a, _I0, rb)
-        accshape = (4, oblk, rblk)
+        accshape = (2 * ndig - 1, oblk, rblk)
         digshape = (ndig, oblk, size)
 
     # twiddle epilogue blocks mirror the OUTPUT block's [m, r, c] indexing
@@ -506,7 +514,7 @@ def _build_u32(ring, size, provider, left, other, interpret, strict=True,
             ] + [spec_tw] * len(tw2),
             out_specs=pl.BlockSpec(oshape, omap, memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(xb.shape, ring.dtype),
-            scratch_shapes=[pltpu.VMEM(accshape, jnp.uint32),
+            scratch_shapes=[pltpu.VMEM(accshape, jnp.int32),
                             pltpu.VMEM(digshape, jnp.int8)],
             interpret=interpret,
         )(xb, jnp.asarray(planes), jnp.asarray(corr32), jnp.asarray(sh),
@@ -542,7 +550,7 @@ def _build_u64(ring, size, provider, left, other, interpret, strict=True,
         omap = lambda c, b, ob, rb, a: (b, c, rb, ob)
         wshape = (1, 1, rblk, size)
         wmap = lambda c, b, ob, rb, a: (c, a, rb, _I0)
-        accshape = (6, rblk, oblk)
+        accshape = (2 * ndig - 1, rblk, oblk)
         digshape = (ndig, size, oblk)
     else:
         xshape = (1, 1, oblk, size)
@@ -551,7 +559,7 @@ def _build_u64(ring, size, provider, left, other, interpret, strict=True,
         omap = lambda c, b, ob, rb, a: (b, c, ob, rb)
         wshape = (1, 1, size, rblk)
         wmap = lambda c, b, ob, rb, a: (c, a, _I0, rb)
-        accshape = (6, oblk, rblk)
+        accshape = (2 * ndig - 1, oblk, rblk)
         digshape = (ndig, oblk, size)
 
     # twiddle epilogue blocks mirror the OUTPUT block's [m, r, c] indexing
@@ -593,7 +601,7 @@ def _build_u64(ring, size, provider, left, other, interpret, strict=True,
             ] + [spec_tw] * len(tw4),
             out_specs=[spec_o, spec_o],
             out_shape=[out_sd, out_sd],
-            scratch_shapes=[pltpu.VMEM(accshape, jnp.uint32),
+            scratch_shapes=[pltpu.VMEM(accshape, jnp.int32),
                             pltpu.VMEM(digshape, jnp.int8)],
             interpret=interpret,
         )(xbh, xbl, jnp.asarray(planes), jnp.asarray(ch), jnp.asarray(cl),
