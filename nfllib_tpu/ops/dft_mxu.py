@@ -231,21 +231,19 @@ def _kernel_u32(left, size, other, rblk, ndig, bias, strict, twiddle,
                 dig_cache,
                 x_ref, w_ref, corr_ref, sh_ref, p_ref, *rest):
     if twiddle:
-        tw_ref, tws_ref, o_ref, acc_ref, dig_ref = rest
+        tw_ref, tws_ref, o_ref, dig_ref = rest
     else:
-        o_ref, acc_ref, dig_ref = rest
+        o_ref, dig_ref = rest
     rb = pl.program_id(3)
-    a = pl.program_id(4)
     p = p_ref[0, 0, 0]
     shape = (size, other) if left else (other, size)
     oshape = (rblk, other) if left else (other, rblk)
     bconst = jnp.int32(bias)
 
-    # the x block stays resident across the (rb, a) grid steps; digitize it
-    # ONCE into int8 scratch instead of nrb*ndig times (the digitize is
-    # pure VPU work and the kernels are VPU-bound)
+    # the x block stays resident across the rb grid steps; digitize it ONCE
+    # into int8 scratch instead of nrb times (pure VPU work)
     if dig_cache:
-        @pl.when((a == 0) & (rb == 0))
+        @pl.when(rb == 0)
         def _():
             x = x_ref[...].reshape(shape).astype(jnp.uint32)
             for b, d in enumerate(_digitize_offset_u32(x, ndig)):
@@ -255,69 +253,63 @@ def _kernel_u32(left, size, other, rblk, ndig, bias, strict, twiddle,
         x = x_ref[...].reshape(shape).astype(jnp.uint32)
         xd = _digitize_offset_u32(x, ndig)
 
-    @pl.when(a == 0)
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+    # GROUP-SUM accumulation (round 4): with the rows blocked, ALL ndig
+    # digit planes of the row block fit in one VMEM operand, so every
+    # program runs the full ndig^2 dot set in ONE grid step, folding each
+    # (a, b) partial into a LOCAL int32 group value G_{a+b} (one add;
+    # |G_k| <= n_k * 128^2 * size fits int32) — no multi-step scratch
+    # accumulators, no per-partial carry chains
+    G = [None] * (2 * ndig - 1)
+    for a in range(ndig):
+        for b in range(ndig):
+            if left:
+                s = jax.lax.dot_general(
+                    w_ref[0, a], xd[b], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+            else:
+                s = jax.lax.dot_general(
+                    xd[b], w_ref[0, a], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+            k = a + b
+            G[k] = s if G[k] is None else G[k] + s
 
-    # GROUP-SUM accumulation (round 4): each (a, b) partial folds into the
-    # int32 group accumulator G_{a+b} with ONE add — |G_k| <= n_k * 128^2 *
-    # size <= 4 * 2^(bias_bits) fits int32 — and the multi-word pack with
-    # its carry chains runs ONCE in the final step instead of per partial
-    # (the kernels are VPU-bound; this was the dominant per-element cost)
-    for b in range(ndig):
-        if left:
-            s = jax.lax.dot_general(
-                w_ref[0, 0], xd[b], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-        else:
-            s = jax.lax.dot_general(
-                xd[b], w_ref[0, 0], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-        # k = a + b is traced (a is a grid index): static unroll over a
-        for apos in range(ndig):
-            @pl.when(a == apos)
-            def _(apos=apos, s=s, b=b):
-                acc_ref[apos + b] = acc_ref[apos + b] + s
-
-    @pl.when(a == ndig - 1)
-    def _():
-        m60 = sh_ref[0, 0, 0]
-        chi = sh_ref[0, 0, 1]
-        chis = sh_ref[0, 0, 2]
-        # n_k biased group values: g'_k = G_k + n_k * bias >= 0 (bias =
-        # max |partial|), g'_k < 2^(bias_bits + 3); the bias over-count
-        # sum_k 2^(8k) n_k bias = bias * S^2 is already folded into corr
-        nk = [min(k + 1, 2 * ndig - 1 - k, ndig) for k in range(2 * ndig - 1)]
-        g = [(acc_ref[k] + jnp.int32(nk[k]) * bconst).astype(jnp.uint32)
-             for k in range(2 * ndig - 1)]
-        g.append(jnp.zeros_like(g[0]))           # pad part1 to ndig groups
-        rs = []
-        for part in range(2):
-            g0, g1, g2, g3 = g[4 * part:4 * part + 4]
-            # exact (hi, lo) of v = g0 + 2^8 g1 + 2^16 g2 + 2^24 g3
-            hi = (g1 >> 24) + (g2 >> 16) + (g3 >> 8)
-            lo = g0 + (g1 << 8)
-            c = (lo < g0).astype(jnp.uint32)
-            lo1 = lo + (g2 << 16)
-            c = c + (lo1 < lo).astype(jnp.uint32)
-            lo2 = lo1 + (g3 << 24)
-            c = c + (lo2 < lo1).astype(jnp.uint32)
-            hi = hi + c
-            a28 = (hi << 4) | (lo2 >> 28)        # exact floor(v/2^28)
-            q = modops._mulhi_u32(a28, m60)
-            rs.append(lo2 - q * p)               # < 3p (exact a28)
-        corr = corr_ref[0] if not left else corr_ref[0].reshape(rblk, 1)
-        # with a twiddle epilogue the combine may stay lazy (< 2p): the
-        # Shoup multiplier accepts any 32-bit multiplicand
-        out = _combine_parts_u32(rs[0], rs[1], chi, chis, corr, p,
-                                 strict and not twiddle)
-        if twiddle:
-            tw = tw_ref[...].reshape(oshape)
-            tws = tws_ref[...].reshape(oshape)
-            out = modops.mulmod_shoup_lazy(out, tw, tws, p)  # < 2p
-            if strict:
-                out = out - jnp.where(out >= p, p, jnp.zeros_like(out))
-        o_ref[...] = out.reshape((1, 1) + oshape).astype(o_ref.dtype)
+    m60 = sh_ref[0, 0, 0]
+    chi = sh_ref[0, 0, 1]
+    chis = sh_ref[0, 0, 2]
+    # n_k biased group values: g'_k = G_k + n_k * bias >= 0 (bias =
+    # max |partial|), g'_k < 2^(bias_bits + 3); the bias over-count
+    # sum_k 2^(8k) n_k bias = bias * S^2 is already folded into corr
+    nk = [min(k + 1, 2 * ndig - 1 - k, ndig) for k in range(2 * ndig - 1)]
+    g = [(G[k] + jnp.int32(nk[k]) * bconst).astype(jnp.uint32)
+         for k in range(2 * ndig - 1)]
+    g.append(jnp.zeros_like(g[0]))           # pad part1 to ndig groups
+    rs = []
+    for part in range(2):
+        g0, g1, g2, g3 = g[4 * part:4 * part + 4]
+        # exact (hi, lo) of v = g0 + 2^8 g1 + 2^16 g2 + 2^24 g3
+        hi = (g1 >> 24) + (g2 >> 16) + (g3 >> 8)
+        lo = g0 + (g1 << 8)
+        c = (lo < g0).astype(jnp.uint32)
+        lo1 = lo + (g2 << 16)
+        c = c + (lo1 < lo).astype(jnp.uint32)
+        lo2 = lo1 + (g3 << 24)
+        c = c + (lo2 < lo1).astype(jnp.uint32)
+        hi = hi + c
+        a28 = (hi << 4) | (lo2 >> 28)        # exact floor(v/2^28)
+        q = modops._mulhi_u32(a28, m60)
+        rs.append(lo2 - q * p)               # < 3p (exact a28)
+    corr = corr_ref[0] if not left else corr_ref[0].reshape(rblk, 1)
+    # with a twiddle epilogue the combine may stay lazy (< 2p): the
+    # Shoup multiplier accepts any 32-bit multiplicand
+    out = _combine_parts_u32(rs[0], rs[1], chi, chis, corr, p,
+                             strict and not twiddle)
+    if twiddle:
+        tw = tw_ref[...].reshape(oshape)
+        tws = tws_ref[...].reshape(oshape)
+        out = modops.mulmod_shoup_lazy(out, tw, tws, p)  # < 2p
+        if strict:
+            out = out - jnp.where(out >= p, p, jnp.zeros_like(out))
+    o_ref[...] = out.reshape((1, 1) + oshape).astype(o_ref.dtype)
 
 
 def _kernel_u64(left, size, other, rblk, ndig, bias, strict, twiddle,
@@ -326,19 +318,18 @@ def _kernel_u64(left, size, other, rblk, ndig, bias, strict, twiddle,
                 *rest):
     if twiddle:
         (twh_ref, twl_ref, twsh_ref, twsl_ref,
-         oh_ref, ol_ref, acc_ref, dig_ref) = rest
+         oh_ref, ol_ref, dig_ref) = rest
     else:
-        oh_ref, ol_ref, acc_ref, dig_ref = rest
+        oh_ref, ol_ref, dig_ref = rest
     rb = pl.program_id(3)
-    a = pl.program_id(4)
     p = (smh_ref[0, 0, 0], sml_ref[0, 0, 0])
     shape = (size, other) if left else (other, size)
     oshape = (rblk, other) if left else (other, rblk)
     bconst = jnp.int32(bias)
 
-    # digitize the resident x block once per (rb, a) sweep (see _kernel_u32)
+    # digitize the resident x block once per rb sweep (see _kernel_u32)
     if dig_cache:
-        @pl.when((a == 0) & (rb == 0))
+        @pl.when(rb == 0)
         def _():
             x = (xh_ref[...].reshape(shape), xl_ref[...].reshape(shape))
             for b, d in enumerate(_digitize_offset_u64(x, ndig)):
@@ -348,79 +339,73 @@ def _kernel_u64(left, size, other, rblk, ndig, bias, strict, twiddle,
         x = (xh_ref[...].reshape(shape), xl_ref[...].reshape(shape))
         xd = _digitize_offset_u64(x, ndig)
 
-    @pl.when(a == 0)
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+    # GROUP-SUM accumulation in one grid step (see _kernel_u32): one int32
+    # add per (a, b) partial into the local G_{a+b} (|G_k| <= 8 * 128^2 *
+    # size <= 2^27 at size 1024); the exact three-word pack + carry chains
+    # run ONCE at the end
+    G = [None] * (2 * ndig - 1)
+    for a in range(ndig):
+        for b in range(ndig):
+            if left:
+                s = jax.lax.dot_general(
+                    w_ref[0, a], xd[b], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+            else:
+                s = jax.lax.dot_general(
+                    xd[b], w_ref[0, a], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+            k = a + b
+            G[k] = s if G[k] is None else G[k] + s
 
-    # GROUP-SUM accumulation: one int32 add per (a, b) partial into G_{a+b}
-    # (|G_k| <= 8 * 128^2 * size <= 2^27 at size 1024); the exact
-    # three-word pack + carry chains run ONCE in the final step (see
-    # _kernel_u32 — this was the dominant VPU cost)
-    for b in range(ndig):
-        if left:
-            s = jax.lax.dot_general(
-                w_ref[0, 0], xd[b], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-        else:
-            s = jax.lax.dot_general(
-                xd[b], w_ref[0, 0], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-        for apos in range(ndig):
-            @pl.when(a == apos)
-            def _(apos=apos, s=s, b=b):
-                acc_ref[apos + b] = acc_ref[apos + b] + s
-
-    @pl.when(a == ndig - 1)
-    def _():
-        mbar = (smh_ref[0, 0, 1], sml_ref[0, 0, 1])
-        chi = (smh_ref[0, 0, 2], sml_ref[0, 0, 2])
-        chis = (smh_ref[0, 0, 3], sml_ref[0, 0, 3])
-        # biased group values g'_k = G_k + n_k * bias >= 0, < 2^(bb + 4)
-        nk = [min(k + 1, 2 * ndig - 1 - k, ndig) for k in range(2 * ndig - 1)]
-        g = [(acc_ref[k] + jnp.int32(nk[k]) * bconst).astype(jnp.uint32)
-             for k in range(2 * ndig - 1)]
-        g.append(jnp.zeros_like(g[0]))           # pad part1 to ndig groups
-        rs = []
-        for part in range(2):
-            g0, g1, g2, g3, g4, g5, g6, g7 = g[8 * part:8 * part + 8]
-            # exact (w2, w1, w0) of v = sum_k 2^(8k) g_k, k = 0..7
-            w0 = g0 + (g1 << 8)
-            c0 = (w0 < g0).astype(jnp.uint32)
-            w0a = w0 + (g2 << 16)
-            c0 = c0 + (w0a < w0).astype(jnp.uint32)
-            w0b = w0a + (g3 << 24)
-            c0 = c0 + (w0b < w0a).astype(jnp.uint32)
-            base = (g1 >> 24) + (g2 >> 16) + (g3 >> 8) + c0
-            w1 = base + g4
-            c1 = (w1 < base).astype(jnp.uint32)
-            w1a = w1 + (g5 << 8)
-            c1 = c1 + (w1a < w1).astype(jnp.uint32)
-            w1b = w1a + (g6 << 16)
-            c1 = c1 + (w1b < w1a).astype(jnp.uint32)
-            w1c = w1b + (g7 << 24)
-            c1 = c1 + (w1c < w1b).astype(jnp.uint32)
-            w2 = (g5 >> 24) + (g6 >> 16) + (g7 >> 8) + c1
-            a60 = (w2 << 4) | (w1c >> 28)        # exact floor(v/2^60)
-            z = jnp.zeros_like(a60)
-            q = p_mulhi((z, a60), mbar)[1]
-            rs.append(p_sub((w1c, w0b), p_mullo((z, q), p)))   # < 3p
-        if left:
-            corr = (ch_ref[0].reshape(rblk, 1), cl_ref[0].reshape(rblk, 1))
-        else:
-            corr = (ch_ref[0], cl_ref[0])
-        # with a twiddle epilogue the combine may stay lazy (< 2p): the
-        # Shoup multiplier accepts any 64-bit multiplicand
-        out = _combine_parts_u64(rs[0], rs[1], chi, chis, corr, p,
-                                 strict and not twiddle)
-        if twiddle:
-            tw = (twh_ref[...].reshape(oshape), twl_ref[...].reshape(oshape))
-            tws = (twsh_ref[...].reshape(oshape),
-                   twsl_ref[...].reshape(oshape))
-            out = p_shoup_lazy(out, tw, tws, p)              # < 2p
-            if strict:
-                out = p_select(p_ge(out, p), p_sub(out, p), out)
-        oh_ref[...] = out[0].reshape((1, 1) + oshape)
-        ol_ref[...] = out[1].reshape((1, 1) + oshape)
+    mbar = (smh_ref[0, 0, 1], sml_ref[0, 0, 1])
+    chi = (smh_ref[0, 0, 2], sml_ref[0, 0, 2])
+    chis = (smh_ref[0, 0, 3], sml_ref[0, 0, 3])
+    # biased group values g'_k = G_k + n_k * bias >= 0, < 2^(bb + 4)
+    nk = [min(k + 1, 2 * ndig - 1 - k, ndig) for k in range(2 * ndig - 1)]
+    g = [(G[k] + jnp.int32(nk[k]) * bconst).astype(jnp.uint32)
+         for k in range(2 * ndig - 1)]
+    g.append(jnp.zeros_like(g[0]))           # pad part1 to ndig groups
+    rs = []
+    for part in range(2):
+        g0, g1, g2, g3, g4, g5, g6, g7 = g[8 * part:8 * part + 8]
+        # exact (w2, w1, w0) of v = sum_k 2^(8k) g_k, k = 0..7
+        w0 = g0 + (g1 << 8)
+        c0 = (w0 < g0).astype(jnp.uint32)
+        w0a = w0 + (g2 << 16)
+        c0 = c0 + (w0a < w0).astype(jnp.uint32)
+        w0b = w0a + (g3 << 24)
+        c0 = c0 + (w0b < w0a).astype(jnp.uint32)
+        base = (g1 >> 24) + (g2 >> 16) + (g3 >> 8) + c0
+        w1 = base + g4
+        c1 = (w1 < base).astype(jnp.uint32)
+        w1a = w1 + (g5 << 8)
+        c1 = c1 + (w1a < w1).astype(jnp.uint32)
+        w1b = w1a + (g6 << 16)
+        c1 = c1 + (w1b < w1a).astype(jnp.uint32)
+        w1c = w1b + (g7 << 24)
+        c1 = c1 + (w1c < w1b).astype(jnp.uint32)
+        w2 = (g5 >> 24) + (g6 >> 16) + (g7 >> 8) + c1
+        a60 = (w2 << 4) | (w1c >> 28)        # exact floor(v/2^60)
+        z = jnp.zeros_like(a60)
+        q = p_mulhi((z, a60), mbar)[1]
+        rs.append(p_sub((w1c, w0b), p_mullo((z, q), p)))   # < 3p
+    if left:
+        corr = (ch_ref[0].reshape(rblk, 1), cl_ref[0].reshape(rblk, 1))
+    else:
+        corr = (ch_ref[0], cl_ref[0])
+    # with a twiddle epilogue the combine may stay lazy (< 2p): the
+    # Shoup multiplier accepts any 64-bit multiplicand
+    out = _combine_parts_u64(rs[0], rs[1], chi, chis, corr, p,
+                             strict and not twiddle)
+    if twiddle:
+        tw = (twh_ref[...].reshape(oshape), twl_ref[...].reshape(oshape))
+        tws = (twsh_ref[...].reshape(oshape),
+               twsl_ref[...].reshape(oshape))
+        out = p_shoup_lazy(out, tw, tws, p)              # < 2p
+        if strict:
+            out = p_select(p_ge(out, p), p_sub(out, p), out)
+    oh_ref[...] = out[0].reshape((1, 1) + oshape)
+    ol_ref[...] = out[1].reshape((1, 1) + oshape)
 
 
 def _other_block_grid(limb, size, other):
@@ -466,30 +451,28 @@ def _build_u32(ring, size, provider, left, other, interpret, strict=True,
     rblk, nrb = _row_block(size, oblk)
     if left:
         xshape = (1, 1, size, oblk)
-        xmap = lambda c, b, ob, rb, a: (b, c, _I0, ob)
+        xmap = lambda c, b, ob, rb: (b, c, _I0, ob)
         oshape = (1, 1, rblk, oblk)
-        omap = lambda c, b, ob, rb, a: (b, c, rb, ob)
-        wshape = (1, 1, rblk, size)
-        wmap = lambda c, b, ob, rb, a: (c, a, rb, _I0)
-        accshape = (2 * ndig - 1, rblk, oblk)
+        omap = lambda c, b, ob, rb: (b, c, rb, ob)
+        wshape = (1, ndig, rblk, size)
+        wmap = lambda c, b, ob, rb: (c, _I0, rb, _I0)
         digshape = (ndig, size, oblk)
     else:
         xshape = (1, 1, oblk, size)
-        xmap = lambda c, b, ob, rb, a: (b, c, ob, _I0)
+        xmap = lambda c, b, ob, rb: (b, c, ob, _I0)
         oshape = (1, 1, oblk, rblk)
-        omap = lambda c, b, ob, rb, a: (b, c, ob, rb)
-        wshape = (1, 1, size, rblk)
-        wmap = lambda c, b, ob, rb, a: (c, a, _I0, rb)
-        accshape = (2 * ndig - 1, oblk, rblk)
+        omap = lambda c, b, ob, rb: (b, c, ob, rb)
+        wshape = (1, ndig, size, rblk)
+        wmap = lambda c, b, ob, rb: (c, _I0, _I0, rb)
         digshape = (ndig, oblk, size)
 
     # twiddle epilogue blocks mirror the OUTPUT block's [m, r, c] indexing
     if left:
         twshape = (1, rblk, oblk)
-        twmap = lambda c, b, ob, rb, a: (c, rb, ob)
+        twmap = lambda c, b, ob, rb: (c, rb, ob)
     else:
         twshape = (1, oblk, rblk)
-        twmap = lambda c, b, ob, rb, a: (c, ob, rb)
+        twmap = lambda c, b, ob, rb: (c, ob, rb)
 
     def call(xb, *tw2):
         B = xb.shape[0]
@@ -498,24 +481,23 @@ def _build_u32(ring, size, provider, left, other, interpret, strict=True,
         return pl.pallas_call(
             functools.partial(_kernel_u32, left, size, oblk, rblk, ndig,
                               bias, strict, twiddle, dig_cache),
-            grid=(m, B, nob, nrb, ndig),
+            grid=(m, B, nob, nrb),
             in_specs=[
                 pl.BlockSpec(xshape, xmap, memory_space=pltpu.VMEM),
                 pl.BlockSpec(wshape, wmap, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, rblk),
-                             lambda c, b, ob, rb, a: (c, _I0, rb),
+                             lambda c, b, ob, rb: (c, _I0, rb),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, 3),
-                             lambda c, b, ob, rb, a: (c, _I0, _I0),
+                             lambda c, b, ob, rb: (c, _I0, _I0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, 1),
-                             lambda c, b, ob, rb, a: (c, _I0, _I0),
+                             lambda c, b, ob, rb: (c, _I0, _I0),
                              memory_space=pltpu.SMEM),
             ] + [spec_tw] * len(tw2),
             out_specs=pl.BlockSpec(oshape, omap, memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(xb.shape, ring.dtype),
-            scratch_shapes=[pltpu.VMEM(accshape, jnp.int32),
-                            pltpu.VMEM(digshape, jnp.int8)],
+            scratch_shapes=[pltpu.VMEM(digshape, jnp.int8)],
             interpret=interpret,
         )(xb, jnp.asarray(planes), jnp.asarray(corr32), jnp.asarray(sh),
           jnp.asarray(p_vec), *tw2)
@@ -545,32 +527,28 @@ def _build_u64(ring, size, provider, left, other, interpret, strict=True,
     rblk, nrb = _row_block(size, oblk)
     if left:
         xshape = (1, 1, size, oblk)
-        xmap = lambda c, b, ob, rb, a: (b, c, _I0, ob)
+        xmap = lambda c, b, ob, rb: (b, c, _I0, ob)
         oshape = (1, 1, rblk, oblk)
-        omap = lambda c, b, ob, rb, a: (b, c, rb, ob)
-        wshape = (1, 1, rblk, size)
-        wmap = lambda c, b, ob, rb, a: (c, a, rb, _I0)
-        accshape = (2 * ndig - 1, rblk, oblk)
+        omap = lambda c, b, ob, rb: (b, c, rb, ob)
+        wshape = (1, ndig, rblk, size)
+        wmap = lambda c, b, ob, rb: (c, _I0, rb, _I0)
         digshape = (ndig, size, oblk)
     else:
         xshape = (1, 1, oblk, size)
-        xmap = lambda c, b, ob, rb, a: (b, c, ob, _I0)
+        xmap = lambda c, b, ob, rb: (b, c, ob, _I0)
         oshape = (1, 1, oblk, rblk)
-        omap = lambda c, b, ob, rb, a: (b, c, ob, rb)
-        wshape = (1, 1, size, rblk)
-        wmap = lambda c, b, ob, rb, a: (c, a, _I0, rb)
-        accshape = (2 * ndig - 1, oblk, rblk)
+        omap = lambda c, b, ob, rb: (b, c, ob, rb)
+        wshape = (1, ndig, size, rblk)
+        wmap = lambda c, b, ob, rb: (c, _I0, _I0, rb)
         digshape = (ndig, oblk, size)
 
     # twiddle epilogue blocks mirror the OUTPUT block's [m, r, c] indexing
-    # (their index map ignores the plane axis `a`, so the pipeline keeps
-    # them resident across the ndig grid steps instead of re-fetching)
     if left:
         twshape = (1, rblk, oblk)
-        twmap = lambda c, b, ob, rb, a: (c, rb, ob)
+        twmap = lambda c, b, ob, rb: (c, rb, ob)
     else:
         twshape = (1, oblk, rblk)
-        twmap = lambda c, b, ob, rb, a: (c, ob, rb)
+        twmap = lambda c, b, ob, rb: (c, ob, rb)
 
     def call(xbh, xbl, *tw4):
         B = xbh.shape[0]
@@ -582,27 +560,26 @@ def _build_u64(ring, size, provider, left, other, interpret, strict=True,
         return pl.pallas_call(
             functools.partial(_kernel_u64, left, size, oblk, rblk, ndig,
                               bias, strict, twiddle, dig_cache),
-            grid=(m, B, nob, nrb, ndig),
+            grid=(m, B, nob, nrb),
             in_specs=[
                 spec_x, spec_x,
                 pl.BlockSpec(wshape, wmap, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, rblk),
-                             lambda c, b, ob, rb, a: (c, _I0, rb),
+                             lambda c, b, ob, rb: (c, _I0, rb),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, rblk),
-                             lambda c, b, ob, rb, a: (c, _I0, rb),
+                             lambda c, b, ob, rb: (c, _I0, rb),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, 4),
-                             lambda c, b, ob, rb, a: (c, _I0, _I0),
+                             lambda c, b, ob, rb: (c, _I0, _I0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, 4),
-                             lambda c, b, ob, rb, a: (c, _I0, _I0),
+                             lambda c, b, ob, rb: (c, _I0, _I0),
                              memory_space=pltpu.SMEM),
             ] + [spec_tw] * len(tw4),
             out_specs=[spec_o, spec_o],
             out_shape=[out_sd, out_sd],
-            scratch_shapes=[pltpu.VMEM(accshape, jnp.int32),
-                            pltpu.VMEM(digshape, jnp.int8)],
+            scratch_shapes=[pltpu.VMEM(digshape, jnp.int8)],
             interpret=interpret,
         )(xbh, xbl, jnp.asarray(planes), jnp.asarray(ch), jnp.asarray(cl),
           jnp.asarray(smh), jnp.asarray(sml), *tw4)
