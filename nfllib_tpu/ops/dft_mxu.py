@@ -16,13 +16,16 @@ Differences from the single-chip kernels, driven by the distributed shapes:
   * UNSCALED digit planes: local sizes reach 1024 (n = 2^20 symmetric
     split), where the single-chip kernels' pre-scaled layout (ndig^2 planes)
     would need 16-64 MB of VMEM.  Here W decomposes into just ndig balanced
-    planes (4 MB u32 / 8 MB u64 at size 1024), streamed ONE PLANE PER GRID
-    STEP, and the digit cross products fold into per-k int32 GROUP
-    accumulators in VMEM scratch (one add per partial — the kernels are
-    VPU-bound and the per-partial carry chains were the dominant cost);
-    the final step packs the biased groups into exact multi-word values
-    once and runs a two-part Barrett recombination (lo/hi halves combined
-    by one Shoup multiply with 2^(8*ndig) mod p).
+    planes; with the output rows blocked, the row block's planes
+    (ndig * rblk * size int8, 2 MB at u64 size 1024) are ONE VMEM operand,
+    so each program runs the full ndig^2 dot set in a single grid step.
+    Digit cross products fold into per-k int32 GROUP values held locally
+    (one add per partial); the biased groups pack into exact multi-word
+    values once, finished by a two-part Barrett recombination (lo/hi
+    halves combined by one Shoup multiply with 2^(8*ndig) mod p).  This
+    single-step structure measured 2.2-4x over the round-3
+    plane-per-grid-step + incremental-pack design (grid-step overhead and
+    per-partial scratch read-modify-write dominated).
   * Offset-byte digitize for X (d = byte - 128, no carries); the constant
     under-count has the closed form 128 * S * rowsum(Wd) with
     S = sum_b 2^(8b), folded into one correction vector per table together
@@ -171,17 +174,15 @@ def _custom_tables(ring, provider: str, size: int, left: bool):
 
 
 # ---------------------------------------------------------------------------
-# kernels: one digit plane per grid step, exact carry-tracked accumulation
+# kernels: one grid step per output block, local group sums, exact pack
 #
-# The W digit-plane table is the VMEM limiter (ndig * size^2 int8 = 8 MB at
-# u64/size 1024, double-buffered by the pipeline).  The plane index `a` is
-# therefore the INNERMOST grid dimension: each step holds one [size, size]
-# plane (1 MB), runs its ndig dots against the offset-byte digits of x
-# (cached int8 in scratch, computed once per resident block), and folds
-# each partial into its per-k int32 group accumulator with ONE add; the
-# final step packs the biased groups into exact multi-word values (carry
-# chains run once, not per partial) and finishes the two-part Barrett
-# recombination before writing the output block.
+# Grid = (channel, batch, other-block, row-block).  Each program holds the
+# row block's FULL digit-plane slice [ndig, rblk, size] (int8, 2 MB at u64
+# size 1024) plus the x block's cached int8 digits (computed once per
+# resident block), runs all ndig^2 dots, folds each partial into a local
+# int32 group value with one add, packs the biased groups into exact
+# multi-word values (carry chains once per block, not per partial), and
+# finishes the two-part Barrett recombination before writing the block.
 # ---------------------------------------------------------------------------
 
 def _digitize_offset_u32(x, ndig):

@@ -53,8 +53,59 @@ def _dft_backend(ring, size):
     if not dft_mxu.supports(ring, size):
         return None
     if mode == "mxu":
+        _ensure_twisted_providers()
         return dft_mxu
-    return dft_mxu if jax.default_backend() == "tpu" else None
+    if jax.default_backend() == "tpu":
+        _ensure_twisted_providers()
+        return dft_mxu
+    return None
+
+
+def _colmat_twisted(ring, size, inverse=False):
+    """Column-stage DFT matrices with the phi (pre-)twist FOLDED IN, so the
+    MXU path skips the separate elementwise twist pass (a full HBM round
+    trip per direction — the same folding ops/ntt_mxu_u64._large_e1_* does
+    for the single-chip split path):
+      fwd: W'[r, j]  = wc^(r*j)  * phi^(n2*j)   (column scale: the
+           pre-twist's phi^(n2*i1) part rides the contraction index)
+      inv: W'[i, k]  = wc^(-i*k) * phi^(-n2*i)  (row scale: the untwist's
+           phi^(-n2*i1) part rides the output index)
+    with wc = omega^(n/size), n2 = n/size.  The remaining phi^(+-i2) (and
+    n^-1 on the inverse) fold into the twiddle tables
+    (FourStepContext.twiddle_tw / itwiddle_tw)."""
+    from ..ring import _np_mulmod_vec
+    from ..ops.dft_mxu import _dft_matrix
+
+    ctx = ring.context()
+    n, m = ring.degree, ring.nmoduli
+    n2 = n // size
+    base = _dft_matrix(ring, size, inverse)
+    mats = np.empty((m, size, size), dtype=np.uint64)
+    for cm in range(m):
+        p = int(ring.moduli[cm])
+        phi_n2 = pow(ctx.phi_int[cm], n2, p)
+        if inverse:
+            phi_n2 = pow(phi_n2, -1, p)
+        scale = np.array([pow(phi_n2, j, p) for j in range(size)],
+                         dtype=np.uint64)
+        if inverse:
+            mats[cm] = _np_mulmod_vec(base[cm], scale[:, None], p)
+        else:
+            mats[cm] = _np_mulmod_vec(base[cm], scale[None, :], p)
+    return mats
+
+
+def _ensure_twisted_providers():
+    import functools as _ft
+
+    from ..ops import dft_mxu
+    if "fourstep_col_fwd_tw" not in dft_mxu._MATRIX_PROVIDERS:
+        dft_mxu.register_matrix_provider(
+            "fourstep_col_fwd_tw", _ft.partial(_colmat_twisted,
+                                               inverse=False))
+        dft_mxu.register_matrix_provider(
+            "fourstep_col_inv_tw", _ft.partial(_colmat_twisted,
+                                               inverse=True))
 
 
 # ---------------------------------------------------------------------------
@@ -104,6 +155,10 @@ class FourStepContext:
         self.twiddle_s = np.empty((m, n1, n2), dtype=dt)
         self.itwiddle = np.empty((m, n1, n2), dtype=dt)   # w^(-k1*i2)
         self.itwiddle_s = np.empty((m, n1, n2), dtype=dt)
+        self.twiddle_tw = np.empty((m, n1, n2), dtype=dt)   # * phi^(i2)
+        self.twiddle_tw_s = np.empty((m, n1, n2), dtype=dt)
+        self.itwiddle_tw = np.empty((m, n1, n2), dtype=dt)  # * n^-1 phi^-i2
+        self.itwiddle_tw_s = np.empty((m, n1, n2), dtype=dt)
 
         for cm in range(m):
             p = int(ring.moduli[cm])
@@ -140,6 +195,24 @@ class FourStepContext:
             self.itwiddle[cm] = it.astype(dt)
             self.itwiddle_s[cm] = _np_shoup_vec(
                 it.reshape(-1), p, wbits).reshape(n1, n2).astype(dt)
+            # MXU-path twisted variants (_colmat_twisted): the phi^(+-i2)
+            # pre/un-twist parts (and n^-1 on the inverse) fold into the
+            # twiddles, so the elementwise twist passes disappear
+            phi = ctx.phi_int[cm]
+            iphi = pow(phi, -1, p)
+            inv_n = int(ctx.invpolyDegree[cm])
+            phi_i2 = np.array([pow(phi, i2, p) for i2 in range(n2)],
+                              dtype=np.uint64)
+            iphi_i2 = np.array([(pow(iphi, i2, p) * inv_n) % p
+                                for i2 in range(n2)], dtype=np.uint64)
+            ttw = _np_mulmod_vec(t, phi_i2[None, :], p)
+            itt = _np_mulmod_vec(it, iphi_i2[None, :], p)
+            self.twiddle_tw[cm] = ttw.astype(dt)
+            self.twiddle_tw_s[cm] = _np_shoup_vec(
+                ttw.reshape(-1), p, wbits).reshape(n1, n2).astype(dt)
+            self.itwiddle_tw[cm] = itt.astype(dt)
+            self.itwiddle_tw_s[cm] = _np_shoup_vec(
+                itt.reshape(-1), p, wbits).reshape(n1, n2).astype(dt)
 
         # phi pre-twist and inverse un-twist reshaped to [m, n1, n2]
         self.phis = ctx.phis.reshape(m, n1, n2)
@@ -267,13 +340,21 @@ def four_step_ntt_local(x, fctx: FourStepContext, col_slice=None,
     cols = slice(None) if col_slice is None else col_slice
     mod = _dft_backend(ring, n1)
     mod2 = _dft_backend(ring, n2)
-    # 1. pre-twist by phi^i (column shard of the [m, n1, n2] table)
-    x = modops.mulmod_shoup(x, jnp.asarray(fctx.phis[:, :, cols]),
-                            jnp.asarray(fctx.shoupphis[:, :, cols]), p3)
+    # MXU path (both stages dispatched): the phi pre-twist is FOLDED into
+    # the column-DFT matrices (phi^(n2*i1) part, fourstep_col_fwd_tw) and
+    # the twiddle tables (phi^(i2) part, twiddle_tw) — no separate
+    # elementwise twist pass (a full HBM round trip at large n)
+    twisted = mod is not None and mod2 is not None
+    if not twisted:
+        # 1. pre-twist by phi^i (column shard of the [m, n1, n2] table)
+        x = modops.mulmod_shoup(x, jnp.asarray(fctx.phis[:, :, cols]),
+                                jnp.asarray(fctx.shoupphis[:, :, cols]), p3)
     # 2. size-n1 DFT down columns: transform axis is n1 (axis -2).
     # Fused MXU kernel when dispatched (no axis swaps — the kernel contracts
     # the sublane axis directly); jnp stage loop otherwise.
-    if mod is not None:
+    if twisted:
+        x = mod.matmul_mod(x, ring, "fourstep_col_fwd_tw", n1, axis=-2)
+    elif mod is not None:
         x = mod.dft_along(x, ring, n1, axis=-2)
     else:
         xt = jnp.swapaxes(x, -1, -2)           # [m, n2l, n1]
@@ -281,8 +362,10 @@ def four_step_ntt_local(x, fctx: FourStepContext, col_slice=None,
                            jnp.asarray(fctx.col_ws),
                            n1, fctx.p_col, fctx.rev1)
         x = jnp.swapaxes(xt, -1, -2)           # [m, n1, n2l], k1 natural
-    tw = jnp.asarray(fctx.twiddle[:, :, cols])
-    tws = jnp.asarray(fctx.twiddle_s[:, :, cols])
+    tw_t = fctx.twiddle_tw if twisted else fctx.twiddle
+    tws_t = fctx.twiddle_tw_s if twisted else fctx.twiddle_s
+    tw = jnp.asarray(tw_t[:, :, cols])
+    tws = jnp.asarray(tws_t[:, :, cols])
     if axis_name is not None and transpose == "ppermute":
         assert chunks == 1, "ppermute already pipelines per block"
         x = _ppermute_transpose(x, tw, tws, p3, axis_name, n_devices,
@@ -344,6 +427,24 @@ def four_step_intt_local(x, fctx: FourStepContext, row_slice=None,
     ring = fctx.plan.ring
     mod = _dft_backend(ring, n1)
     mod2 = _dft_backend(ring, n2)
+    # MXU path: the n^-1 phi^-i untwist is FOLDED into the inverse
+    # column-DFT matrices (phi^(-n2*i1), fourstep_col_inv_tw) and the
+    # inverse twiddles (n^-1 phi^(-i2), itwiddle_tw) — callers skip the
+    # separate _untwist pass (mirrors the forward folding)
+    twisted = mod is not None and mod2 is not None
+
+    def col_idft(v):
+        if twisted:
+            return mod.matmul_mod(v, ring, "fourstep_col_inv_tw", n1,
+                                  axis=-2)
+        if mod is not None:
+            return mod.dft_along(v, ring, n1, axis=-2, inverse=True)
+        vt = jnp.swapaxes(v, -1, -2)
+        vt = _dft_lastaxis(vt, jnp.asarray(fctx.col_iw),
+                           jnp.asarray(fctx.col_iws),
+                           n1, fctx.p_col, fctx.rev1)
+        return jnp.swapaxes(vt, -1, -2)
+
     rows = slice(None) if row_slice is None else row_slice
     # inverse of step 5: unscaled inverse DFT along rows
     if mod2 is not None:
@@ -352,21 +453,15 @@ def four_step_intt_local(x, fctx: FourStepContext, row_slice=None,
         x = _dft_lastaxis(x, jnp.asarray(fctx.row_iw),
                           jnp.asarray(fctx.row_iws),
                           n2, fctx.p_col, fctx.rev2)
-    itw = jnp.asarray(fctx.itwiddle[:, rows, :])
-    itws = jnp.asarray(fctx.itwiddle_s[:, rows, :])
+    itw_t = fctx.itwiddle_tw if twisted else fctx.itwiddle
+    itws_t = fctx.itwiddle_tw_s if twisted else fctx.itwiddle_s
+    itw = jnp.asarray(itw_t[:, rows, :])
+    itws = jnp.asarray(itws_t[:, rows, :])
     if axis_name is not None and transpose == "ppermute":
         assert chunks == 1, "ppermute already pipelines per block"
         x = _ppermute_transpose(x, itw, itws, p3, axis_name, n_devices,
                                 fwd=False)                  # [m, n1, n2/D]
-        if mod is not None:
-            x = mod.dft_along(x, ring, n1, axis=-2, inverse=True)
-        else:
-            xt = jnp.swapaxes(x, -1, -2)
-            xt = _dft_lastaxis(xt, jnp.asarray(fctx.col_iw),
-                               jnp.asarray(fctx.col_iws),
-                               n1, fctx.p_col, fctx.rev1)
-            x = jnp.swapaxes(xt, -1, -2)
-        return x, None
+        return col_idft(x), None
     if axis_name is not None and chunks > 1:
         m_, n1l, _ = x.shape[-3:]
         d = n_devices
@@ -387,15 +482,7 @@ def four_step_intt_local(x, fctx: FourStepContext, row_slice=None,
                 xc, axis_name, split_axis=xc.ndim - 1,
                 concat_axis=xc.ndim - 2, tiled=True))   # [m, n1, s]
         x = jnp.concatenate(outs, axis=-1)              # [m, n1, n2/D]
-        if mod is not None:
-            x = mod.dft_along(x, ring, n1, axis=-2, inverse=True)
-        else:
-            xt = jnp.swapaxes(x, -1, -2)
-            xt = _dft_lastaxis(xt, jnp.asarray(fctx.col_iw),
-                               jnp.asarray(fctx.col_iws),
-                               n1, fctx.p_col, fctx.rev1)
-            x = jnp.swapaxes(xt, -1, -2)
-        return x, None
+        return col_idft(x), None
     # inverse twiddle (row shard of the [m, n1, n2] table)
     x = modops.mulmod_shoup(x, itw, itws, p3)
     # transpose back: rows shard -> columns shard
@@ -403,15 +490,11 @@ def four_step_intt_local(x, fctx: FourStepContext, row_slice=None,
         x = jax.lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1,
                                tiled=True)     # [m, n1, n2/D]
     # inverse of step 2: inverse DFT down columns
-    if mod is not None:
-        x = mod.dft_along(x, ring, n1, axis=-2, inverse=True)
-    else:
-        xt = jnp.swapaxes(x, -1, -2)
-        xt = _dft_lastaxis(xt, jnp.asarray(fctx.col_iw),
-                           jnp.asarray(fctx.col_iws),
-                           n1, fctx.p_col, fctx.rev1)
-        x = jnp.swapaxes(xt, -1, -2)
+    x = col_idft(x)
     # un-twist by n^-1 * phi^-i (column shard; includes both 1/n1 and 1/n2)
+    # — already folded on the twisted MXU path
+    if twisted:
+        return x, None
     cols = slice(None) if axis_name is None else None
     return x, cols  # caller applies the column-sharded un-twist
 
@@ -461,20 +544,29 @@ def _build_dist_fwd(ring: Ring, mesh: Mesh, n1: int, deg_axis: str,
     n = ring.degree
     n2 = n // n1
     fctx = get_four_step_context(ring, n1, n2)
+    # twisted MXU path (see four_step_ntt_local): ship the phi-folded
+    # twiddles and no phi tables at all
+    twisted = (_dft_backend(ring, n1) is not None
+               and _dft_backend(ring, n2) is not None)
 
     col_sh = NamedSharding(mesh, P(None, None, deg_axis))
+    host_tabs = ((fctx.twiddle_tw, fctx.twiddle_tw_s) if twisted else
+                 (fctx.phis, fctx.shoupphis, fctx.twiddle, fctx.twiddle_s))
     # eager even under an outer jit trace: this builder is lru-cached, and
     # a traced device_put would cache tracers (UnexpectedTracerError later)
     with jax.ensure_compile_time_eval():
-        tabs = tuple(jax.device_put(np.asarray(t), col_sh) for t in
-                     (fctx.phis, fctx.shoupphis, fctx.twiddle,
-                      fctx.twiddle_s))
+        tabs = tuple(jax.device_put(np.asarray(t), col_sh)
+                     for t in host_tabs)
 
     d = mesh.shape[deg_axis]
 
-    def local(xb, phis, shoupphis, twiddle, twiddle_s):
-        f = _TableView(fctx, phis=phis, shoupphis=shoupphis,
-                       twiddle=twiddle, twiddle_s=twiddle_s)
+    def local(xb, *shards):
+        if twisted:
+            f = _TableView(fctx, twiddle_tw=shards[0],
+                           twiddle_tw_s=shards[1])
+        else:
+            f = _TableView(fctx, phis=shards[0], shoupphis=shards[1],
+                           twiddle=shards[2], twiddle_s=shards[3])
         return four_step_ntt_local(xb, f, col_slice=None, axis_name=deg_axis,
                                    n_devices=d, chunks=chunks,
                                    transpose=transpose)
@@ -483,7 +575,7 @@ def _build_dist_fwd(ring: Ring, mesh: Mesh, n1: int, deg_axis: str,
     out_spec = P(*([None] * (ndim - 2) + [deg_axis, None]))
     tspec = P(None, None, deg_axis)
     fn = jax.jit(shard_map(local, mesh=mesh,
-                           in_specs=(spec,) + (tspec,) * 4,
+                           in_specs=(spec,) + (tspec,) * len(tabs),
                            out_specs=out_spec, check_vma=False))
     return lambda x: fn(x, *tabs)
 
@@ -518,33 +610,49 @@ def _build_dist_inv(ring: Ring, mesh: Mesh, n1: int, deg_axis: str,
     n2 = n // n1
     fctx = get_four_step_context(ring, n1, n2)
     d = mesh.shape[deg_axis]
+    # twisted MXU path (see four_step_intt_local): the untwist folds into
+    # the inverse matrices + twiddles, so no ivp tables ship at all
+    twisted = (_dft_backend(ring, n1) is not None
+               and _dft_backend(ring, n2) is not None)
 
     row_sh = NamedSharding(mesh, P(None, deg_axis, None))
     col_sh = NamedSharding(mesh, P(None, None, deg_axis))
     with jax.ensure_compile_time_eval():
-        tabs = (jax.device_put(np.asarray(fctx.itwiddle), row_sh),
-                jax.device_put(np.asarray(fctx.itwiddle_s), row_sh),
-                jax.device_put(np.asarray(fctx.ivp), col_sh),
-                jax.device_put(np.asarray(fctx.ivp_s), col_sh))
+        if twisted:
+            tabs = (jax.device_put(np.asarray(fctx.itwiddle_tw), row_sh),
+                    jax.device_put(np.asarray(fctx.itwiddle_tw_s), row_sh))
+        else:
+            tabs = (jax.device_put(np.asarray(fctx.itwiddle), row_sh),
+                    jax.device_put(np.asarray(fctx.itwiddle_s), row_sh),
+                    jax.device_put(np.asarray(fctx.ivp), col_sh),
+                    jax.device_put(np.asarray(fctx.ivp_s), col_sh))
 
-    def local(yb, itwiddle, itwiddle_s, ivp, ivp_s):
+    def local(yb, *shards):
         # jnp constants are created INSIDE the traced function: this builder
         # is lru-cached, and materializing them at build time under an outer
         # jit trace would cache tracers (UnexpectedTracerError later)
         p3 = jnp.asarray(fctx.p_col)[..., None]
-        f = _TableView(fctx, itwiddle=itwiddle, itwiddle_s=itwiddle_s,
-                       ivp=ivp, ivp_s=ivp_s)
+        if twisted:
+            f = _TableView(fctx, itwiddle_tw=shards[0],
+                           itwiddle_tw_s=shards[1])
+        else:
+            f = _TableView(fctx, itwiddle=shards[0], itwiddle_s=shards[1],
+                           ivp=shards[2], ivp_s=shards[3])
         xb, _ = four_step_intt_local(yb, f, row_slice=None,
                                      axis_name=deg_axis, n_devices=d,
                                      chunks=chunks, transpose=transpose)
+        if twisted:
+            return xb
         return _untwist(xb, f, None, p3)
 
     spec = P(*([None] * (ndim - 2) + [deg_axis, None]))
     out_spec = P(*([None] * (ndim - 2) + [None, deg_axis]))
     rspec = P(None, deg_axis, None)
     cspec = P(None, None, deg_axis)
+    in_specs = (spec, rspec, rspec) if twisted \
+        else (spec, rspec, rspec, cspec, cspec)
     fn = jax.jit(shard_map(local, mesh=mesh,
-                           in_specs=(spec, rspec, rspec, cspec, cspec),
+                           in_specs=in_specs,
                            out_specs=out_spec, check_vma=False))
     return lambda y: fn(y, *tabs)
 
@@ -580,6 +688,7 @@ def four_step_reference_inverse(y, ring: Ring, n1: int):
     n2 = ring.degree // n1
     fctx = get_four_step_context(ring, n1, n2)
     p3 = jnp.asarray(fctx.p_col)[..., None]
-    xb, _ = four_step_intt_local(y, fctx)
-    xb = _untwist(xb, fctx, None, p3)
+    xb, cols = four_step_intt_local(y, fctx)
+    if cols is not None:       # non-twisted path: untwist not folded
+        xb = _untwist(xb, fctx, None, p3)
     return xb.reshape(y.shape[:-2] + (ring.degree,))
