@@ -321,7 +321,7 @@ def _ppermute_transpose(x, tw, tws, p3, axis_name, d, fwd):
 
 def four_step_ntt_local(x, fctx: FourStepContext, col_slice=None,
                         row_slice=None, axis_name=None, n_devices=1,
-                        chunks=1, transpose="a2a"):
+                        chunks=1, transpose="a2a", backends=None):
     """Forward four-step pass.  x: [m, n1, n2_local] (column shard when
     axis_name is set, else the full [m, n1, n2]).  Returns [m, n1_local, n2]
     row shard (or full array single-device).
@@ -338,8 +338,7 @@ def four_step_ntt_local(x, fctx: FourStepContext, col_slice=None,
     p3 = p_col[..., None]                      # [m,1,1]
 
     cols = slice(None) if col_slice is None else col_slice
-    mod = _dft_backend(ring, n1)
-    mod2 = _dft_backend(ring, n2)
+    mod, mod2 = _backend_mods(ring, n1, n2, backends)
     # MXU path (both stages dispatched): the phi pre-twist is FOLDED into
     # the column-DFT matrices (phi^(n2*i1) part, fourstep_col_fwd_tw) and
     # the twiddle tables (phi^(i2) part, twiddle_tw) — no separate
@@ -412,7 +411,7 @@ def four_step_ntt_local(x, fctx: FourStepContext, col_slice=None,
 
 def four_step_intt_local(x, fctx: FourStepContext, row_slice=None,
                          axis_name=None, n_devices=1, chunks=1,
-                         transpose="a2a"):
+                         transpose="a2a", backends=None):
     """Inverse of four_step_ntt_local.  x: [m, n1_local, n2] row shard ->
     [m, n1, n2_local] column shard of the coefficient tensor.
 
@@ -425,8 +424,7 @@ def four_step_intt_local(x, fctx: FourStepContext, row_slice=None,
     p3 = p_col[..., None]
 
     ring = fctx.plan.ring
-    mod = _dft_backend(ring, n1)
-    mod2 = _dft_backend(ring, n2)
+    mod, mod2 = _backend_mods(ring, n1, n2, backends)
     # MXU path: the n^-1 phi^-i untwist is FOLDED into the inverse
     # column-DFT matrices (phi^(-n2*i1), fourstep_col_inv_tw) and the
     # inverse twiddles (n^-1 phi^(-i2), itwiddle_tw) — callers skip the
@@ -532,9 +530,33 @@ class _TableView:
             setattr(self, k, v)
 
 
+def _resolved_backends(ring: Ring, n1: int, n2: int):
+    """(use_mxu_col, use_mxu_row): whether dft_mxu owns each local stage.
+    Resolved at CALL time and passed into the lru-cached builders as part
+    of their key (ADVICE round 4): the NFL_TPU_NTT env var is read here, so
+    flipping it mid-process builds (and caches) a separate compiled path
+    instead of returning a stale one."""
+    return (_dft_backend(ring, n1) is not None,
+            _dft_backend(ring, n2) is not None)
+
+
+def _backend_mods(ring, n1, n2, backends):
+    """Materialize the (mod, mod2) module pair for an explicit or
+    call-time-resolved backend choice."""
+    if backends is None:
+        return _dft_backend(ring, n1), _dft_backend(ring, n2)
+    use1, use2 = backends
+    if use1 or use2:
+        _ensure_twisted_providers()
+        from ..ops import dft_mxu
+        return (dft_mxu if use1 else None), (dft_mxu if use2 else None)
+    return None, None
+
+
 @functools.lru_cache(maxsize=None)
 def _build_dist_fwd(ring: Ring, mesh: Mesh, n1: int, deg_axis: str,
-                    ndim: int, chunks: int = 1, transpose: str = "a2a"):
+                    ndim: int, chunks: int = 1, transpose: str = "a2a",
+                    backends=None):
     """Cached jitted forward transform (one compile per shape family).
 
     The [m, n1, n2] elementwise tables (phi twist + four-step twiddle) are
@@ -546,8 +568,8 @@ def _build_dist_fwd(ring: Ring, mesh: Mesh, n1: int, deg_axis: str,
     fctx = get_four_step_context(ring, n1, n2)
     # twisted MXU path (see four_step_ntt_local): ship the phi-folded
     # twiddles and no phi tables at all
-    twisted = (_dft_backend(ring, n1) is not None
-               and _dft_backend(ring, n2) is not None)
+    mod1, mod2 = _backend_mods(ring, n1, n2, backends)
+    twisted = mod1 is not None and mod2 is not None
 
     col_sh = NamedSharding(mesh, P(None, None, deg_axis))
     host_tabs = ((fctx.twiddle_tw, fctx.twiddle_tw_s) if twisted else
@@ -569,7 +591,7 @@ def _build_dist_fwd(ring: Ring, mesh: Mesh, n1: int, deg_axis: str,
                            twiddle=shards[2], twiddle_s=shards[3])
         return four_step_ntt_local(xb, f, col_slice=None, axis_name=deg_axis,
                                    n_devices=d, chunks=chunks,
-                                   transpose=transpose)
+                                   transpose=transpose, backends=backends)
 
     spec = P(*([None] * (ndim - 1) + [deg_axis]))
     out_spec = P(*([None] * (ndim - 2) + [deg_axis, None]))
@@ -599,21 +621,22 @@ def distributed_ntt_pow_phi(x, ring: Ring, mesh: Mesh, *, n1=None,
         assert n1 % (d * chunks) == 0, "chunks must divide the row blocks"
     xr = x.reshape(x.shape[:-1] + (n1, n2))
     fn = _build_dist_fwd(ring, mesh, n1, deg_axis, xr.ndim, chunks,
-                         transpose)
+                         transpose, _resolved_backends(ring, n1, n2))
     return fn(xr)
 
 
 @functools.lru_cache(maxsize=None)
 def _build_dist_inv(ring: Ring, mesh: Mesh, n1: int, deg_axis: str,
-                    ndim: int, chunks: int = 1, transpose: str = "a2a"):
+                    ndim: int, chunks: int = 1, transpose: str = "a2a",
+                    backends=None):
     n = ring.degree
     n2 = n // n1
     fctx = get_four_step_context(ring, n1, n2)
     d = mesh.shape[deg_axis]
     # twisted MXU path (see four_step_intt_local): the untwist folds into
     # the inverse matrices + twiddles, so no ivp tables ship at all
-    twisted = (_dft_backend(ring, n1) is not None
-               and _dft_backend(ring, n2) is not None)
+    mod1, mod2 = _backend_mods(ring, n1, n2, backends)
+    twisted = mod1 is not None and mod2 is not None
 
     row_sh = NamedSharding(mesh, P(None, deg_axis, None))
     col_sh = NamedSharding(mesh, P(None, None, deg_axis))
@@ -640,7 +663,8 @@ def _build_dist_inv(ring: Ring, mesh: Mesh, n1: int, deg_axis: str,
                            ivp=shards[2], ivp_s=shards[3])
         xb, _ = four_step_intt_local(yb, f, row_slice=None,
                                      axis_name=deg_axis, n_devices=d,
-                                     chunks=chunks, transpose=transpose)
+                                     chunks=chunks, transpose=transpose,
+                                     backends=backends)
         if twisted:
             return xb
         return _untwist(xb, f, None, p3)
@@ -670,7 +694,7 @@ def distributed_invntt_pow_invphi(y, ring: Ring, mesh: Mesh, *, n1=None,
         assert (n // n1) % (d * chunks) == 0, \
             "chunks must divide the column blocks"
     fn = _build_dist_inv(ring, mesh, n1, deg_axis, y.ndim, chunks,
-                         transpose)
+                         transpose, _resolved_backends(ring, n1, n // n1))
     out = fn(y)
     return out.reshape(out.shape[:-2] + (n,))
 

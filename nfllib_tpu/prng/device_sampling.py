@@ -359,7 +359,13 @@ def _hwt_positions_from_words(W, n: int, h: int, amb_cap: int):
         shifts every later word's k down by one).
     This is the hwt analog of the gaussian sampler's pointer-doubling: the
     sequential state (here the k counter) is recovered from per-word local
-    data plus a vanishing number of data-dependent fixups."""
+    data plus a vanishing number of data-dependent fixups.
+
+    Also returns `ok`, a traced bool that is False when either budget
+    assumption is exceeded — more than `amb_cap` ambiguous words, or fewer
+    than n-h accepted words in the budgeted stream (each has probability
+    ~2^-44 per word) — so callers can poison the output instead of
+    silently diverging from the host stream."""
     import jax.numpy as _jnp
     from jax import lax
 
@@ -368,6 +374,7 @@ def _hwt_positions_from_words(W, n: int, h: int, amb_cap: int):
     # superset of every possibly-rejectable word: rejection needs
     # w > M - (M mod k) >= M - (n - 2)
     amb = W > (M - _jnp.uint64(n))
+    amb_count = _jnp.sum(amb.astype(_jnp.int32))
     iota = _jnp.arange(Wtot, dtype=_jnp.int32)
     big = _jnp.int32(Wtot)
     amb_idx = _jnp.sort(_jnp.where(amb, iota, big))[:amb_cap]
@@ -406,7 +413,12 @@ def _hwt_positions_from_words(W, n: int, h: int, amb_cap: int):
     order = _jnp.sort(hitted)
     T = _jnp.sum(consumed.astype(_jnp.int32))         # words popped
     fills_res = (T + h - 1) // h                      # ceil: refill-on-empty
-    return order, fills_res
+    # budget guard (ADVICE round 4): the walk above is only exact when the
+    # ambiguous set fit amb_cap and the budgeted stream held n-h accepts
+    n_accepted = _jnp.sum(acc)
+    ok = (amb_count <= _jnp.int32(amb_cap)) & \
+        (n_accepted >= _jnp.int32(n - h))
+    return order, fills_res, ok
 
 
 def device_hwt_exact(ring: Ring, key: bytes, nonce, mode,
@@ -433,7 +445,7 @@ def device_hwt_exact(ring: Ring, key: bytes, nonce, mode,
     nf_budget = max(1, -(-(n - h) // h) + 1)
     fills = [_stream_limbs(key, nonce + f, h, 8) for f in range(nf_budget)]
     W = jnp.concatenate(fills)
-    order, fills_res = _hwt_positions_from_words(W, n, h, _amb_cap)
+    order, fills_res, ok = _hwt_positions_from_words(W, n, h, _amb_cap)
 
     signs = _stream_limbs(key, nonce + fills_res, h, 8)
     bit = signs & jnp.uint64(2)                       # j-th word, j-th hit
@@ -446,9 +458,14 @@ def device_hwt_exact(ring: Ring, key: bytes, nonce, mode,
                      jnp.zeros_like(p_col))
     mask = jnp.asarray((1 << lp.repr_bits) - 1, dtype=jnp.uint64)
     out = (vals & mask).astype(lp.dtype)
+    # budget guard (ADVICE round 4): if the walk's assumptions were
+    # exceeded (probability ~2^-44 per word), poison every residue with the
+    # out-of-range sentinel `mask` (>= p, fails any strict-mod/range check)
+    # and report fills -1 — loud, detectable divergence instead of silent
+    out = jnp.where(ok, out, jnp.full_like(out, mask.astype(lp.dtype)))
     if not return_fills:
         return out
-    return out, fills_res + 1
+    return out, jnp.where(ok, fills_res + 1, -1)
 
 
 def device_hwt(ring: Ring, key: bytes, nonce: int, mode):

@@ -286,7 +286,30 @@ def test_hwt_word_core_resolves_rejections():
         words[slots] = M - rng.integers(0, n, size=namb, dtype=np.uint64)
         want_hitted, want_fills = _host_walk_on_words(words, n, h)
         import jax.numpy as jnp
-        order, fills = dev._hwt_positions_from_words(
+        order, fills, ok = dev._hwt_positions_from_words(
             jnp.asarray(words), n, h, amb_cap=budget)
         np.testing.assert_array_equal(np.asarray(order), want_hitted)
         assert int(fills) == want_fills, trial
+        assert bool(ok), trial
+
+
+def test_hwt_word_core_budget_guard():
+    """The ok flag trips (ADVICE round 4) when either exactness assumption
+    breaks: more ambiguous words than amb_cap, or fewer accepted words than
+    the reservoir needs — instead of silently diverging."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(7)
+    n, h = 96, 16
+    M = np.uint64((1 << 64) - 1)
+    words = rng.integers(0, 1 << 62, size=n, dtype=np.uint64)
+    # 5 ambiguous words but amb_cap=3 -> not exactly resolvable
+    words[:5] = M - np.uint64(1)
+    _, _, ok = dev._hwt_positions_from_words(jnp.asarray(words), n, h,
+                                             amb_cap=3)
+    assert not bool(ok)
+    # every word rejects at every k (w == M > M - (M mod k) whenever
+    # k does not divide 2^64, true for all 1 < k < n): no accepts at all
+    words_all_rej = np.full(n, M, dtype=np.uint64)
+    _, _, ok2 = dev._hwt_positions_from_words(jnp.asarray(words_all_rej),
+                                              n, h, amb_cap=n)
+    assert not bool(ok2)

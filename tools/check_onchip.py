@@ -205,11 +205,58 @@ def _chain_time(fn, x, K):
     return best if best < float("inf") else float("nan")
 
 
+def _paired_chain_times(cases, rounds=6, inner=3):
+    """INTERLEAVED same-session chain timing (round-4 VERDICT items 1/2:
+    the chip/tunnel swings up to 2.6x across minutes-long regimes, so two
+    sequential _chain_time calls are not comparable — only adjacently
+    measured pairs are).  `cases` is [(name, fn, x, K, napps)].  Each ROUND
+    measures every case's chain-differenced per-app time back-to-back
+    (seconds apart), so regime drift hits all cases equally and per-round
+    RATIOS between cases are regime-free.  Returns {name: [per-round
+    seconds-per-app]} with non-positive (jitter-swamped) rounds as NaN."""
+    import jax.numpy as jnp
+
+    prepped = []
+    for name, fn, x, K, napps in cases:
+        jf = jax.jit(lambda v, k, f=fn: jax.lax.fori_loop(
+            0, k, lambda i, vv: f(vv), v))
+        xd = jnp.asarray(x)
+        for k in (1, K):   # warm both dispatch paths
+            _ = np.asarray(jax.tree_util.tree_leaves(
+                jf(xd, k))[0].reshape(-1)[:1])
+        prepped.append((name, jf, xd, K, napps))
+
+    def one(jf, xd, kk):
+        t0 = time.perf_counter()
+        o = jf(xd, kk)
+        _ = np.asarray(jax.tree_util.tree_leaves(o)[0].reshape(-1)[:1])
+        return time.perf_counter() - t0
+
+    per_round = {name: [] for name, *_ in prepped}
+    for _ in range(rounds):
+        for name, jf, xd, K, napps in prepped:
+            t1 = min(one(jf, xd, 1) for _ in range(inner))
+            tk = min(one(jf, xd, K) for _ in range(inner))
+            d = (tk - t1) / (K - 1) / napps
+            per_round[name].append(d if d > 0 else float("nan"))
+    return per_round
+
+
+def _paired_stats(per_round, num, den):
+    """Median over rounds of the within-round ratio num/den, NaN-safe."""
+    r = [a / b for a, b in zip(per_round[num], per_round[den])
+         if np.isfinite(a) and np.isfinite(b)]
+    return float(np.median(r)) if r else None
+
+
 def time_four_step():
-    """A/B the mesh-free four-step path (= the distributed path's per-chip
-    work) against the single-chip Harvey dispatch, plus the twiddle stage
-    alone — the scaling model's compute inputs (round-3 VERDICT items 1/3/
-    weak-5: this overhead was previously assumed zero)."""
+    """Paired A/B of the mesh-free four-step path (= the distributed
+    path's per-chip work) against the single-chip Harvey dispatch, plus
+    the twiddle stage alone — the scaling model's compute inputs.  All
+    three run INTERLEAVED per round so the recorded overhead ratio is a
+    within-regime quantity (round-4 VERDICT item 1); the u32 point runs a
+    B=16 batch so its per-app time clears the ~2 us tunnel floor (item
+    7)."""
     import jax.numpy as jnp
 
     from nfllib_tpu.ops import modops
@@ -218,16 +265,18 @@ def time_four_step():
 
     out = {}
     rng = np.random.default_rng(5)
-    for label, limb, lg, modbits, K in (
-            ("u32_2^14", "u32", 14, 60, 129),
-            ("u64_2^18", "u64", 18, 124, 17),
-            ("u64_2^20", "u64", 20, 124, 9)):
+    for label, limb, lg, modbits, K, B in (
+            ("u32_2^14", "u32", 14, 60, 65, 16),
+            ("u64_2^18", "u64", 18, 124, 33, 1),
+            ("u64_2^20", "u64", 20, 124, 9, 1)):
         ring = ring_from_modulus(limb, 1 << lg, modbits)
         n = ring.degree
         n1 = 1 << (lg // 2)
-        x = np.empty((ring.nmoduli, n), dtype=ring.dtype)
+        shape = (B, ring.nmoduli, n) if B > 1 else (ring.nmoduli, n)
+        x = np.empty(shape, dtype=ring.dtype)
         for cm in range(ring.nmoduli):
-            x[cm] = rng.integers(0, int(ring.moduli[cm]), n)
+            x[..., cm, :] = rng.integers(0, int(ring.moduli[cm]),
+                                         shape[:-2] + (n,))
         ctx = ring.context()
         fctx = ntt_dist.get_four_step_context(ring, n1, n // n1)
 
@@ -247,23 +296,43 @@ def time_four_step():
                                     tw, tws, p3)
             return y.reshape(v.shape)
 
-        t_h = _chain_time(harvey, x, K)
-        t_f = _chain_time(four, x, K)
-        t_t = _chain_time(twiddle_only, x, max(K, 129))
+        per_round = _paired_chain_times([
+            ("harvey", harvey, x, K, B),
+            ("four_step", four, x, K, B),
+            ("twiddle", twiddle_only, x, max(K, 65), B),
+        ])
+        overhead = _paired_stats(per_round, "four_step", "harvey")
+        tw_frac = _paired_stats(per_round, "twiddle", "four_step")
+
+        def mn(name):
+            v = [t for t in per_round[name] if np.isfinite(t)]
+            return min(v) if v else None
 
         def us(t):  # None for below-measurement-floor rows (strict JSON)
-            return round(t * 1e6, 1) if np.isfinite(t) else None
+            return round(t * 1e6, 2) if t is not None else None
 
+        def us_list(name):
+            return [us(t) if np.isfinite(t) else None
+                    for t in per_round[name]]
+
+        t_h, t_f, t_t = mn("harvey"), mn("four_step"), mn("twiddle")
         out[label] = {
             "nmoduli": ring.nmoduli,
+            "batch": B,
+            "protocol": "paired-interleaved",
+            "rounds_us": {k: us_list(k) for k in per_round},
             "harvey_us_per_app": us(t_h),
             "four_step_us_per_app": us(t_f),
             "twiddle_stage_us": us(t_t),
-            "four_step_overhead_x": round(t_f / t_h, 3)
-            if np.isfinite(t_f / t_h) else None,
+            "four_step_overhead_x": round(overhead, 3)
+            if overhead is not None else None,
+            "twiddle_frac_of_four_step": round(tw_frac, 3)
+            if tw_frac is not None else None,
         }
-        print(f"{label}: harvey {t_h*1e6:.0f} us, four-step {t_f*1e6:.0f} "
-              f"us ({t_f/t_h:.2f}x), twiddle stage {t_t*1e6:.0f} us",
+        ostr = f"{overhead:.2f}x" if overhead is not None else "n/a"
+        fstr = f"{tw_frac:.2f}" if tw_frac is not None else "n/a"
+        print(f"{label}: harvey {us(t_h)} us, four-step {us(t_f)} us "
+              f"(paired {ostr}), twiddle {us(t_t)} us (frac {fstr})",
               flush=True)
     return out
 
