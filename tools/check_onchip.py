@@ -205,38 +205,64 @@ def _chain_time(fn, x, K):
     return best if best < float("inf") else float("nan")
 
 
-def _paired_chain_times(cases, rounds=6, inner=3):
+def _one_chain(jf, xd, kk, retries=3):
+    """One synced chain run; retries transient axon-tunnel failures."""
+    for attempt in range(retries + 1):
+        try:
+            t0 = time.perf_counter()
+            o = jf(xd, kk)
+            _ = np.asarray(jax.tree_util.tree_leaves(
+                o)[0].reshape(-1)[:1])
+            return time.perf_counter() - t0
+        except Exception:
+            if attempt == retries:
+                raise
+            time.sleep(5 + 15 * attempt)
+
+
+def _paired_chain_times(cases, rounds=8, inner=3, target_diff_s=0.03):
     """INTERLEAVED same-session chain timing (round-4 VERDICT items 1/2:
     the chip/tunnel swings up to 2.6x across minutes-long regimes, so two
     sequential _chain_time calls are not comparable — only adjacently
-    measured pairs are).  `cases` is [(name, fn, x, K, napps)].  Each ROUND
+    measured pairs are).  `cases` is [(name, fn, x, napps)].  Each ROUND
     measures every case's chain-differenced per-app time back-to-back
     (seconds apart), so regime drift hits all cases equally and per-round
-    RATIOS between cases are regime-free.  Returns {name: [per-round
-    seconds-per-app]} with non-positive (jitter-swamped) rounds as NaN."""
+    RATIOS between cases are regime-free.
+
+    The chain length K is chosen ADAPTIVELY per case so the differenced
+    quantity (K-1)*t_app is >= `target_diff_s` — the tunnel RTT min
+    jitters by single-digit milliseconds even under min-of-inner, so a
+    fixed small K puts the difference inside the noise (the round-4
+    artifact's 2.6x '2^18 regime swings' were partly THIS).  Returns
+    {name: [per-round seconds-per-app]}, non-positive rounds as NaN."""
     import jax.numpy as jnp
 
     prepped = []
-    for name, fn, x, K, napps in cases:
+    for name, fn, x, napps in cases:
         jf = jax.jit(lambda v, k, f=fn: jax.lax.fori_loop(
             0, k, lambda i, vv: f(vv), v))
         xd = jnp.asarray(x)
-        for k in (1, K):   # warm both dispatch paths
-            _ = np.asarray(jax.tree_util.tree_leaves(
-                jf(xd, k))[0].reshape(-1)[:1])
+        for k in (1, 9):   # warm compile + both dispatch paths
+            _one_chain(jf, xd, k)
+        # coarse per-app estimate to size K
+        est = []
+        for _ in range(3):
+            t1 = min(_one_chain(jf, xd, 1) for _ in range(2))
+            tk = min(_one_chain(jf, xd, 9) for _ in range(2))
+            if tk > t1:
+                est.append((tk - t1) / 8)
+        t_est = max(min(est) if est else 1e-4, 1e-7)
+        K = int(min(max(np.ceil(target_diff_s / t_est) + 1, 9), 4097))
+        _one_chain(jf, xd, K)   # warm the long-chain dispatch
         prepped.append((name, jf, xd, K, napps))
-
-    def one(jf, xd, kk):
-        t0 = time.perf_counter()
-        o = jf(xd, kk)
-        _ = np.asarray(jax.tree_util.tree_leaves(o)[0].reshape(-1)[:1])
-        return time.perf_counter() - t0
+        print(f"  case {name}: t_est {t_est*1e6:.1f} us/iter -> K={K}",
+              flush=True)
 
     per_round = {name: [] for name, *_ in prepped}
     for _ in range(rounds):
         for name, jf, xd, K, napps in prepped:
-            t1 = min(one(jf, xd, 1) for _ in range(inner))
-            tk = min(one(jf, xd, K) for _ in range(inner))
+            t1 = min(_one_chain(jf, xd, 1) for _ in range(inner))
+            tk = min(_one_chain(jf, xd, K) for _ in range(inner))
             d = (tk - t1) / (K - 1) / napps
             per_round[name].append(d if d > 0 else float("nan"))
     return per_round
@@ -265,10 +291,10 @@ def time_four_step():
 
     out = {}
     rng = np.random.default_rng(5)
-    for label, limb, lg, modbits, K, B in (
-            ("u32_2^14", "u32", 14, 60, 65, 16),
-            ("u64_2^18", "u64", 18, 124, 33, 1),
-            ("u64_2^20", "u64", 20, 124, 9, 1)):
+    for label, limb, lg, modbits, B in (
+            ("u32_2^14", "u32", 14, 60, 16),
+            ("u64_2^18", "u64", 18, 124, 1),
+            ("u64_2^20", "u64", 20, 124, 1)):
         ring = ring_from_modulus(limb, 1 << lg, modbits)
         n = ring.degree
         n1 = 1 << (lg // 2)
@@ -297,16 +323,16 @@ def time_four_step():
             return y.reshape(v.shape)
 
         per_round = _paired_chain_times([
-            ("harvey", harvey, x, K, B),
-            ("four_step", four, x, K, B),
-            ("twiddle", twiddle_only, x, max(K, 65), B),
+            ("harvey", harvey, x, B),
+            ("four_step", four, x, B),
+            ("twiddle", twiddle_only, x, B),
         ])
         overhead = _paired_stats(per_round, "four_step", "harvey")
         tw_frac = _paired_stats(per_round, "twiddle", "four_step")
 
-        def mn(name):
+        def med(name):
             v = [t for t in per_round[name] if np.isfinite(t)]
-            return min(v) if v else None
+            return float(np.median(v)) if v else None
 
         def us(t):  # None for below-measurement-floor rows (strict JSON)
             return round(t * 1e6, 2) if t is not None else None
@@ -315,11 +341,11 @@ def time_four_step():
             return [us(t) if np.isfinite(t) else None
                     for t in per_round[name]]
 
-        t_h, t_f, t_t = mn("harvey"), mn("four_step"), mn("twiddle")
+        t_h, t_f, t_t = med("harvey"), med("four_step"), med("twiddle")
         out[label] = {
             "nmoduli": ring.nmoduli,
             "batch": B,
-            "protocol": "paired-interleaved",
+            "protocol": "paired-interleaved adaptive-K (median of rounds)",
             "rounds_us": {k: us_list(k) for k in per_round},
             "harvey_us_per_app": us(t_h),
             "four_step_us_per_app": us(t_f),
