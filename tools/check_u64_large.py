@@ -42,26 +42,21 @@ def jnp_fwd(x, ctx):
             os.environ["NFL_TPU_NTT"] = prev
 
 
-def timing(fn, x, K):
-    jf = jax.jit(lambda v, k: jax.lax.fori_loop(
-        0, k, lambda i, vv: fn(vv), v))
-    xd = jnp.asarray(x)
-    _ = np.asarray(jf(xd, 1)[0, 0:1])
-
-    def one(kk):
-        t0 = time.perf_counter()
-        o = jf(xd, kk)
-        _ = np.asarray(o[0, 0:1])
-        return time.perf_counter() - t0
-
-    best = float("inf")
-    for _ in range(3):
-        t1 = tk = float("inf")
-        for _ in range(3):
-            t1 = min(t1, one(1))
-            tk = min(tk, one(K))
-        best = min(best, (tk - t1) / (K - 1))
-    return best
+def paired_timing(fns, x):
+    """Paired interleaved adaptive-K protocol (tools/check_onchip.py): the
+    round-4 artifact's fixed K=9/17 chains put the differenced quantity
+    inside the tunnel-RTT jitter, biasing mins low (2^17's recorded 43.5
+    us was such an underestimate).  Returns {name: median us-per-app} plus
+    the per-round lists."""
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+    from check_onchip import _paired_chain_times
+    per_round = _paired_chain_times([(name, fn, x, 1)
+                                     for name, fn in fns])
+    meds = {}
+    for name, vals in per_round.items():
+        v = [t for t in vals if np.isfinite(t)]
+        meds[name] = float(np.median(v)) if v else float("nan")
+    return meds, per_round
 
 
 def main():
@@ -95,16 +90,21 @@ def main():
         ok = ok and rt and eq
         print(f"n=2^{lg}: fwd==jnp {eq}, roundtrip {rt}, "
               f"first {t_first:.1f}s", flush=True)
-        K = 9 if lg >= 20 else 17
-        t_mxu = timing(lambda v: ntt_mxu_u64.ntt_pow_phi_fused(
-            v, ctx, interpret=False), x, K)
-        t_jnp = timing(lambda v: jnp_fwd(v, ctx), x, 5)
+        meds, rounds = paired_timing(
+            [("mxu", lambda v: ntt_mxu_u64.ntt_pow_phi_fused(
+                v, ctx, interpret=False)),
+             ("jnp", lambda v: jnp_fwd(v, ctx))], x)
+        t_mxu, t_jnp = meds["mxu"], meds["jnp"]
         print(f"n=2^{lg}: mxu {t_mxu*1e6:.0f} us/app vs jnp "
               f"{t_jnp*1e6:.0f} us ({t_jnp/t_mxu:.2f}x)", flush=True)
         artifact["configs"][f"2^{lg}"] = {
             "fwd_eq_jnp": bool(eq), "roundtrip": bool(rt),
+            "protocol": "paired-interleaved adaptive-K (median)",
             "mxu_us_per_app": round(t_mxu * 1e6, 1),
             "jnp_us_per_app": round(t_jnp * 1e6, 1),
+            "rounds_us": {k: [round(t * 1e6, 1) if np.isfinite(t)
+                              else None for t in v]
+                          for k, v in rounds.items()},
         }
     artifact["ok"] = bool(ok)
     root = pathlib.Path(__file__).resolve().parent.parent
