@@ -501,7 +501,7 @@ def _register_large_providers():
 
 
 def _large_run64(x, ctx, inverse, interpret):
-    from . import dft_mxu
+    from . import dft_mxu, pair_bridge
     _register_large_providers()
     ring = ctx.ring
     m, n = ring.nmoduli, ring.degree
@@ -509,28 +509,32 @@ def _large_run64(x, ctx, inverse, interpret):
     x = jnp.asarray(x)
     batch = x.shape[:-2]
     xb = x.reshape((-1, m, n1, n2))
-    # The inter-matmul [m, n1, n2] pair-Shoup twiddle stays a SEPARATE jnp
-    # pass, measured on chip (round 4): XLA runs it at its bandwidth floor
-    # (68 us vs the 82 us roofline at 2^20 — ~1.7% of the transform), while
-    # folding it into the first matmul's in-kernel epilogue
-    # (dft_mxu matmul_mod twiddle=...) was bit-exact but 9-11% SLOWER
-    # same-session at 2^18/2^20 (kernel-pipeline cost of the extra resident
-    # operand blocks exceeds the saved traffic).  The epilogue capability
+    # The inter-matmul [m, n1, n2] pair-Shoup twiddle is a SEPARATE pass
+    # but a PAIR-NATIVE one (ops/pair_bridge.py), chained through the
+    # matmuls' pair I/O so the emulated-u64 value never materializes
+    # between the kernels.  Paired A/B history (TWIDDLE_AB.json): the jnp
+    # bridge ran at ~3.3x its traffic floor (XLA emulated-u64 chain:
+    # 262 us vs 78 us at 2^20 m=2), and the in-kernel matmul EPILOGUE
+    # fusion (dft_mxu matmul_mod twiddle=...) was bit-exact but
+    # 1.045-1.058x SLOWER under the paired protocol (kernel-pipeline cost
+    # of the extra resident operand blocks) — the epilogue capability
     # remains available and tested for shapes where the tradeoff differs.
     tw, tws = _large_twiddle(ring, inverse)
-    p3 = jnp.asarray(ctx.p_col)[..., None]
-    if not inverse:
-        f = dft_mxu.matmul_mod(xb, ring, "ntt64_e1_fwd", n1, axis=-2,
-                               interpret=interpret)
-        f = modops.mulmod_shoup(f, jnp.asarray(tw), jnp.asarray(tws), p3)
-        o = dft_mxu.matmul_mod(f, ring, "ntt64_e2_fwd", n2, axis=-1,
-                               interpret=interpret)
+    prov1, prov2 = (("ntt64_e1_fwd", "ntt64_e2_fwd") if not inverse
+                    else ("ntt64_e2_inv", "ntt64_e1_inv"))
+    s1, a1, s2, a2 = ((n1, -2, n2, -1) if not inverse
+                      else (n2, -1, n1, -2))
+    pair = pair_bridge.supports_shape(n1, n2)   # always true above 2^16;
+    f = dft_mxu.matmul_mod(xb, ring, prov1, s1, axis=a1,   # small-degree
+                           interpret=interpret, pair_out=pair)  # tests fall
+    if pair:                                    # back to the jnp bridge
+        f = pair_bridge.mulmod_shoup_pairs(f, _split(tw), _split(tws),
+                                           ring, interpret=interpret)
     else:
-        f = dft_mxu.matmul_mod(xb, ring, "ntt64_e2_inv", n2, axis=-1,
-                               interpret=interpret)
+        p3 = jnp.asarray(ctx.p_col)[..., None]
         f = modops.mulmod_shoup(f, jnp.asarray(tw), jnp.asarray(tws), p3)
-        o = dft_mxu.matmul_mod(f, ring, "ntt64_e1_inv", n1, axis=-2,
-                               interpret=interpret)
+    o = dft_mxu.matmul_mod(f, ring, prov2, s2, axis=a2,
+                           interpret=interpret)
     return o.reshape(batch + (m, n))
 
 
