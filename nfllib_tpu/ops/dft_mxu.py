@@ -662,10 +662,10 @@ def matmul_mod(x, ring, provider: str, size: int, *, axis: int,
 
 
 def dft_along(x, ring, size: int, *, axis: int, inverse: bool = False,
-              interpret=None):
+              interpret=None, pair_out=False):
     """Size-`size` natural-order DFT (root omega^(n/size), or its inverse)
     along `axis` (-1: row stage, -2: column stage) of [..., m, r, c].
     Bit-identical to parallel/ntt_dist._dft_lastaxis's math."""
     provider = "dft_inv" if inverse else "dft_fwd"
     return matmul_mod(x, ring, provider, size, axis=axis,
-                      interpret=interpret)
+                      interpret=interpret, pair_out=pair_out)

@@ -501,7 +501,7 @@ def _register_large_providers():
 
 
 def _large_run64(x, ctx, inverse, interpret):
-    from . import dft_mxu, pair_bridge
+    from . import dft_mxu
     _register_large_providers()
     ring = ctx.ring
     m, n = ring.nmoduli, ring.degree
@@ -509,30 +509,30 @@ def _large_run64(x, ctx, inverse, interpret):
     x = jnp.asarray(x)
     batch = x.shape[:-2]
     xb = x.reshape((-1, m, n1, n2))
-    # The inter-matmul [m, n1, n2] pair-Shoup twiddle is a SEPARATE pass
-    # but a PAIR-NATIVE one (ops/pair_bridge.py), chained through the
-    # matmuls' pair I/O so the emulated-u64 value never materializes
-    # between the kernels.  Paired A/B history (TWIDDLE_AB.json): the jnp
-    # bridge ran at ~3.3x its traffic floor (XLA emulated-u64 chain:
-    # 262 us vs 78 us at 2^20 m=2), and the in-kernel matmul EPILOGUE
-    # fusion (dft_mxu matmul_mod twiddle=...) was bit-exact but
-    # 1.045-1.058x SLOWER under the paired protocol (kernel-pipeline cost
-    # of the extra resident operand blocks) — the epilogue capability
-    # remains available and tested for shapes where the tradeoff differs.
+    # The inter-matmul [m, n1, n2] pair-Shoup twiddle stays a SEPARATE jnp
+    # pass.  Every alternative has been tried and REJECTED under the
+    # round-5 paired protocol (TWIDDLE_AB.json, 2^20 m=2, bit-exact in
+    # all cases):
+    #   * in-kernel matmul EPILOGUE fusion (matmul_mod twiddle=...):
+    #     1.031-1.058x SLOWER (extra resident operand blocks stall the
+    #     kernel pipeline);
+    #   * PAIR-NATIVE Pallas bridge chained through matmul pair I/O
+    #     (ops/pair_bridge.py, pair_out=/tuple-in): 1.039x SLOWER —
+    #     although the bridge measures ~3.3x its traffic floor STANDALONE
+    #     (257 us vs 78 us), XLA fuses the merge + emulated-u64 multiply +
+    #     re-split into the surrounding program in-chain, so the jnp form
+    #     was already at its practical floor and the Pallas call only adds
+    #     per-program overhead.  Both capabilities remain available and
+    #     bit-exactness-tested for shapes where the tradeoff differs.
     tw, tws = _large_twiddle(ring, inverse)
+    p3 = jnp.asarray(ctx.p_col)[..., None]
     prov1, prov2 = (("ntt64_e1_fwd", "ntt64_e2_fwd") if not inverse
                     else ("ntt64_e2_inv", "ntt64_e1_inv"))
     s1, a1, s2, a2 = ((n1, -2, n2, -1) if not inverse
                       else (n2, -1, n1, -2))
-    pair = pair_bridge.supports_shape(n1, n2)   # always true above 2^16;
-    f = dft_mxu.matmul_mod(xb, ring, prov1, s1, axis=a1,   # small-degree
-                           interpret=interpret, pair_out=pair)  # tests fall
-    if pair:                                    # back to the jnp bridge
-        f = pair_bridge.mulmod_shoup_pairs(f, _split(tw), _split(tws),
-                                           ring, interpret=interpret)
-    else:
-        p3 = jnp.asarray(ctx.p_col)[..., None]
-        f = modops.mulmod_shoup(f, jnp.asarray(tw), jnp.asarray(tws), p3)
+    f = dft_mxu.matmul_mod(xb, ring, prov1, s1, axis=a1,
+                           interpret=interpret)
+    f = modops.mulmod_shoup(f, jnp.asarray(tw), jnp.asarray(tws), p3)
     o = dft_mxu.matmul_mod(f, ring, prov2, s2, axis=a2,
                            interpret=interpret)
     return o.reshape(batch + (m, n))

@@ -1,22 +1,29 @@
-"""Pallas pair-native u64 elementwise Shoup multiply (the large-degree
-"bridge" op).
+"""Pallas pair-native u64 elementwise Shoup multiply — a TESTED
+CAPABILITY that production does NOT dispatch (tried and rejected; kept so
+the result is reproducible and never re-derived).
 
-WHY: between the two dft_mxu matmuls of the u64 large-degree split path
-sits one elementwise mulmod_shoup by the [m, n1, n2] twiddle.  The jnp
-form runs through XLA's emulated-u64 arithmetic, which materializes
-32-bit pair intermediates — measured ~3.3x its HBM traffic floor under
-the paired protocol (262 us vs 78 us at 2^20 m=2, TWIDDLE_AB.json) — and
-the adjacent Mosaic matmul kernels natively consume/produce uint32
-hi/lo PAIRS, so the surrounding program also pays a merge (hi<<32|lo)
-and a re-split per transform.  This kernel does the Shoup multiply
-directly on the pairs (ops/ntt_pallas_u64.py's p_* helpers, the same
-arithmetic every u64 kernel uses), so with pair I/O plumbed through
-dft_mxu.matmul_mod the u64 value never exists between the matmuls.
+HYPOTHESIS (round 5): between the two dft_mxu matmuls of the u64
+large-degree split path sits one elementwise mulmod_shoup by the
+[m, n1, n2] twiddle; STANDALONE it measures ~3.3x its HBM traffic floor
+(257 us vs 78 us at 2^20 m=2, TWIDDLE_AB.json) because XLA's
+emulated-u64 arithmetic materializes 32-bit pair intermediates, and the
+adjacent Mosaic kernels natively speak uint32 hi/lo pairs — so a
+pair-native kernel chained through matmul pair I/O (dft_mxu.matmul_mod
+pair_out=/tuple-in) should win.
+
+MEASURED RESULT (paired protocol, TWIDDLE_AB.json): the pair-native
+chain is 1.039x SLOWER end-to-end at u64 2^20.  In-chain, XLA fuses the
+merge (hi<<32|lo), the emulated-u64 multiply, and the re-split into the
+surrounding program — the standalone reading does not transfer, the jnp
+form already sits at its practical floor, and this kernel only adds
+per-program overhead while breaking that cross-op fusion.  Production
+(ntt_mxu_u64._large_run64, parallel/ntt_dist._twiddle_mul) therefore
+uses the plain jnp modops.mulmod_shoup.
 
 Bit-exactness: p_shoup_lazy + p_reduce_once computes exactly
 modops.mulmod_shoup's canonical result (q = hi(x*w'); r = x*w - q*p;
 one conditional subtract) — asserted against the jnp path in
-tests/test_pair_bridge.py and on chip (ONCHIP_CHECK).
+tests/test_pair_bridge.py.
 
 Reference anchor: ops.hpp:225-242 (mulmod_shoup), applied at the
 engine layer the reference runs per-coefficient in SIMD lanes

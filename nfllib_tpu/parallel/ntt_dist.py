@@ -243,6 +243,21 @@ def get_four_step_context(ring: Ring, n1: int, n2: int) -> FourStepContext:
 # local building blocks (run inside shard_map per device)
 # ---------------------------------------------------------------------------
 
+def _twiddle_mul(x, tw, tws, p3, ring):
+    """Elementwise Shoup twiddle used by every four-step branch — the
+    plain jnp form, deliberately: a pair-native Pallas bridge
+    (ops/pair_bridge.py) and an in-kernel matmul epilogue were both tried
+    and REJECTED under the paired protocol (TWIDDLE_AB.json: 1.039x /
+    1.031-1.058x slower end-to-end at u64 2^20) — XLA fuses the
+    emulated-u64 multiply into the surrounding program in-chain, so this
+    form already runs at its practical floor on every tier.  Keeping the
+    single dispatch point so the distributed path and the single-chip
+    large path (ntt_mxu_u64._large_run64) stay structurally identical
+    (the scaling gate's 1.0x-overhead premise, round-4 VERDICT item 1)."""
+    del ring
+    return modops.mulmod_shoup(x, tw, tws, p3)
+
+
 def _dft_lastaxis(x, blocked, blocked_s, size, p_col, rev):
     """Forward size-`size` DFT along the last axis of [..., m, B, size],
     natural output order (Harvey core + bitrev gather)."""
@@ -271,7 +286,7 @@ def _dft_lastaxis(x, blocked, blocked_s, size, p_col, rev):
 # distributed transforms
 # ---------------------------------------------------------------------------
 
-def _ppermute_transpose(x, tw, tws, p3, axis_name, d, fwd):
+def _ppermute_transpose(x, tw, tws, p3, axis_name, d, fwd, ring=None):
     """Twiddle + transpose expressed as d-1 point-to-point ppermutes (plus
     the local block) instead of one all-to-all.
 
@@ -307,8 +322,8 @@ def _ppermute_transpose(x, tw, tws, p3, axis_name, d, fwd):
     perm_cache = {}
     for s in range(d):
         t = jax.lax.rem(me + jnp.int32(s), d32)  # this block's destination
-        blk = modops.mulmod_shoup(blk_at(x, t), blk_at(tw, t),
-                                  blk_at(tws, t), p3)
+        blk = _twiddle_mul(blk_at(x, t), blk_at(tw, t), blk_at(tws, t),
+                           p3, ring)
         if s:
             perm = perm_cache.setdefault(
                 s, [(j, (j + s) % d) for j in range(d)])
@@ -368,7 +383,7 @@ def four_step_ntt_local(x, fctx: FourStepContext, col_slice=None,
     if axis_name is not None and transpose == "ppermute":
         assert chunks == 1, "ppermute already pipelines per block"
         x = _ppermute_transpose(x, tw, tws, p3, axis_name, n_devices,
-                                fwd=True)                   # [m, n1/D, n2]
+                                fwd=True, ring=ring)        # [m, n1/D, n2]
     elif axis_name is not None and chunks > 1:
         # 3+4 chunked: per chunk, twiddle the c-th sub-rows of every
         # destination block then transpose them; XLA overlaps the async
@@ -394,7 +409,7 @@ def four_step_ntt_local(x, fctx: FourStepContext, col_slice=None,
         x = jnp.concatenate(outs, axis=-2)              # [m, n1/D, n2]
     else:
         # 3. twiddle w^(k1*i2)
-        x = modops.mulmod_shoup(x, tw, tws, p3)
+        x = _twiddle_mul(x, tw, tws, p3, ring)
         # 4. all-to-all transpose: columns shard -> rows shard
         if axis_name is not None:
             x = jax.lax.all_to_all(x, axis_name, split_axis=1,
@@ -458,7 +473,7 @@ def four_step_intt_local(x, fctx: FourStepContext, row_slice=None,
     if axis_name is not None and transpose == "ppermute":
         assert chunks == 1, "ppermute already pipelines per block"
         x = _ppermute_transpose(x, itw, itws, p3, axis_name, n_devices,
-                                fwd=False)                  # [m, n1, n2/D]
+                                fwd=False, ring=ring)       # [m, n1, n2/D]
         return col_idft(x), None
     if axis_name is not None and chunks > 1:
         m_, n1l, _ = x.shape[-3:]
@@ -482,7 +497,7 @@ def four_step_intt_local(x, fctx: FourStepContext, row_slice=None,
         x = jnp.concatenate(outs, axis=-1)              # [m, n1, n2/D]
         return col_idft(x), None
     # inverse twiddle (row shard of the [m, n1, n2] table)
-    x = modops.mulmod_shoup(x, itw, itws, p3)
+    x = _twiddle_mul(x, itw, itws, p3, ring)
     # transpose back: rows shard -> columns shard
     if axis_name is not None:
         x = jax.lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1,
