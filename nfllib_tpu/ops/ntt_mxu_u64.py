@@ -514,10 +514,10 @@ def _large_run64(x, ctx, inverse, interpret):
     # round-5 paired protocol (TWIDDLE_AB.json, 2^20 m=2, bit-exact in
     # all cases):
     #   * in-kernel matmul EPILOGUE fusion (matmul_mod twiddle=...):
-    #     1.031-1.058x SLOWER (extra resident operand blocks stall the
+    #     1.04-1.07x SLOWER (extra resident operand blocks stall the
     #     kernel pipeline);
     #   * PAIR-NATIVE Pallas bridge chained through matmul pair I/O
-    #     (ops/pair_bridge.py, pair_out=/tuple-in): 1.039x SLOWER —
+    #     (ops/pair_bridge.py, pair_out=/tuple-in): 1.04-1.07x SLOWER —
     #     although the bridge measures ~3.3x its traffic floor STANDALONE
     #     (257 us vs 78 us), XLA fuses the merge + emulated-u64 multiply +
     #     re-split into the surrounding program in-chain, so the jnp form

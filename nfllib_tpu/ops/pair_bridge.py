@@ -12,7 +12,8 @@ pair-native kernel chained through matmul pair I/O (dft_mxu.matmul_mod
 pair_out=/tuple-in) should win.
 
 MEASURED RESULT (paired protocol, TWIDDLE_AB.json): the pair-native
-chain is 1.039x SLOWER end-to-end at u64 2^20.  In-chain, XLA fuses the
+chain is 1.05-1.07x SLOWER end-to-end at u64 2^18/2^20.  In-chain, XLA
+fuses the
 merge (hi<<32|lo), the emulated-u64 multiply, and the re-split into the
 surrounding program — the standalone reading does not transfer, the jnp
 form already sits at its practical floor, and this kernel only adds
@@ -63,9 +64,12 @@ def supports_shape(R: int, C: int) -> bool:
 @functools.lru_cache(maxsize=None)
 def _build(m: int, R: int, C: int, nb: int, interpret: bool):
     # row block sized so ~10 resident [rblk, C] u32 arrays (+ double
-    # buffering) stay a few MB
+    # buffering) stay a few MB.  Halve only while the result stays
+    # 8-aligned (Mosaic: block dims divisible by (8, 128) or equal to the
+    # array dims) — R=24 etc. would otherwise halve to an invalid 12-row
+    # block; such shapes keep rblk == R (valid: equal to the array dim)
     rblk = R
-    while rblk > 8 and rblk * C > (1 << 16):
+    while rblk % 16 == 0 and rblk * C > (1 << 16):
         rblk //= 2
     nrb = R // rblk
     spec = pl.BlockSpec((1, 1, rblk, C), lambda b, c, r: (b, c, r, _I0),

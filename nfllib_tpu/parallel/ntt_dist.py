@@ -243,18 +243,17 @@ def get_four_step_context(ring: Ring, n1: int, n2: int) -> FourStepContext:
 # local building blocks (run inside shard_map per device)
 # ---------------------------------------------------------------------------
 
-def _twiddle_mul(x, tw, tws, p3, ring):
+def _twiddle_mul(x, tw, tws, p3):
     """Elementwise Shoup twiddle used by every four-step branch — the
     plain jnp form, deliberately: a pair-native Pallas bridge
     (ops/pair_bridge.py) and an in-kernel matmul epilogue were both tried
-    and REJECTED under the paired protocol (TWIDDLE_AB.json: 1.039x /
-    1.031-1.058x slower end-to-end at u64 2^20) — XLA fuses the
+    and REJECTED under the paired protocol (TWIDDLE_AB.json: 1.04-1.07x /
+    1.04-1.07x slower end-to-end at u64 2^20) — XLA fuses the
     emulated-u64 multiply into the surrounding program in-chain, so this
     form already runs at its practical floor on every tier.  Keeping the
     single dispatch point so the distributed path and the single-chip
     large path (ntt_mxu_u64._large_run64) stay structurally identical
     (the scaling gate's 1.0x-overhead premise, round-4 VERDICT item 1)."""
-    del ring
     return modops.mulmod_shoup(x, tw, tws, p3)
 
 
@@ -286,7 +285,7 @@ def _dft_lastaxis(x, blocked, blocked_s, size, p_col, rev):
 # distributed transforms
 # ---------------------------------------------------------------------------
 
-def _ppermute_transpose(x, tw, tws, p3, axis_name, d, fwd, ring=None):
+def _ppermute_transpose(x, tw, tws, p3, axis_name, d, fwd):
     """Twiddle + transpose expressed as d-1 point-to-point ppermutes (plus
     the local block) instead of one all-to-all.
 
@@ -323,7 +322,7 @@ def _ppermute_transpose(x, tw, tws, p3, axis_name, d, fwd, ring=None):
     for s in range(d):
         t = jax.lax.rem(me + jnp.int32(s), d32)  # this block's destination
         blk = _twiddle_mul(blk_at(x, t), blk_at(tw, t), blk_at(tws, t),
-                           p3, ring)
+                           p3)
         if s:
             perm = perm_cache.setdefault(
                 s, [(j, (j + s) % d) for j in range(d)])
@@ -383,7 +382,7 @@ def four_step_ntt_local(x, fctx: FourStepContext, col_slice=None,
     if axis_name is not None and transpose == "ppermute":
         assert chunks == 1, "ppermute already pipelines per block"
         x = _ppermute_transpose(x, tw, tws, p3, axis_name, n_devices,
-                                fwd=True, ring=ring)        # [m, n1/D, n2]
+                                fwd=True)                   # [m, n1/D, n2]
     elif axis_name is not None and chunks > 1:
         # 3+4 chunked: per chunk, twiddle the c-th sub-rows of every
         # destination block then transpose them; XLA overlaps the async
@@ -409,7 +408,7 @@ def four_step_ntt_local(x, fctx: FourStepContext, col_slice=None,
         x = jnp.concatenate(outs, axis=-2)              # [m, n1/D, n2]
     else:
         # 3. twiddle w^(k1*i2)
-        x = _twiddle_mul(x, tw, tws, p3, ring)
+        x = _twiddle_mul(x, tw, tws, p3)
         # 4. all-to-all transpose: columns shard -> rows shard
         if axis_name is not None:
             x = jax.lax.all_to_all(x, axis_name, split_axis=1,
@@ -473,7 +472,7 @@ def four_step_intt_local(x, fctx: FourStepContext, row_slice=None,
     if axis_name is not None and transpose == "ppermute":
         assert chunks == 1, "ppermute already pipelines per block"
         x = _ppermute_transpose(x, itw, itws, p3, axis_name, n_devices,
-                                fwd=False, ring=ring)       # [m, n1, n2/D]
+                                fwd=False)                  # [m, n1, n2/D]
         return col_idft(x), None
     if axis_name is not None and chunks > 1:
         m_, n1l, _ = x.shape[-3:]
@@ -497,7 +496,7 @@ def four_step_intt_local(x, fctx: FourStepContext, row_slice=None,
         x = jnp.concatenate(outs, axis=-1)              # [m, n1, n2/D]
         return col_idft(x), None
     # inverse twiddle (row shard of the [m, n1, n2] table)
-    x = _twiddle_mul(x, itw, itws, p3, ring)
+    x = _twiddle_mul(x, itw, itws, p3)
     # transpose back: rows shard -> columns shard
     if axis_name is not None:
         x = jax.lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1,
@@ -545,7 +544,7 @@ class _TableView:
             setattr(self, k, v)
 
 
-def _resolve_transpose(transpose: str, chunks: int = 1) -> str:
+def _resolve_transpose(transpose: str, chunks: int = 1, mesh=None) -> str:
     """'auto' -> 'ppermute' on TPU, 'a2a' elsewhere.  On real TPU
     compilations all-to-all stays SYNCHRONOUS while collective-permute
     lowers to async start/done pairs the scheduler overlaps with the
@@ -553,20 +552,51 @@ def _resolve_transpose(transpose: str, chunks: int = 1) -> str:
     kernels) — so ppermute is the production default there.  CPU has no
     async collective runtime, where ppermute's d-1 sequential hops only
     cost wall clock; a2a stays the default off-TPU.  An explicit chunks>1
-    request keeps a2a (ppermute already pipelines per block)."""
+    request keeps a2a (ppermute already pipelines per block).
+
+    The platform is read off the MESH's devices when given (a CPU mesh in
+    a process whose default backend is TPU — e.g. a tool that AOT-compiled
+    for TPU earlier — must still resolve to a2a), falling back to the
+    process default backend for AOT meshes whose devices carry no client.
+    """
+    if transpose not in ("auto", "a2a", "ppermute"):
+        raise ValueError(f"transpose must be auto|a2a|ppermute, "
+                         f"got {transpose!r}")
     if transpose != "auto":
         return transpose
     if chunks > 1:
         return "a2a"
-    return "ppermute" if jax.default_backend() == "tpu" else "a2a"
+    platform = None
+    if mesh is not None:
+        try:
+            platform = mesh.devices.flat[0].platform
+        except Exception:
+            platform = None
+    if platform is None:
+        platform = jax.default_backend()
+    return "ppermute" if platform == "tpu" else "a2a"
 
 
-def _resolved_backends(ring: Ring, n1: int, n2: int):
+def _resolved_backends(ring: Ring, n1: int, n2: int, mesh: Mesh = None):
     """(use_mxu_col, use_mxu_row): whether dft_mxu owns each local stage.
     Resolved at CALL time and passed into the lru-cached builders as part
     of their key (ADVICE round 4): the NFL_TPU_NTT env var is read here, so
     flipping it mid-process builds (and caches) a separate compiled path
-    instead of returning a stale one."""
+    instead of returning a stale one.
+
+    Auto dispatch honors the MESH's platform, not the process default: in
+    this environment the axon backend can be the process default while the
+    transform targets a CPU mesh, and compiled Mosaic kernels cannot lower
+    for CPU devices.  NFL_TPU_NTT=mxu still forces the kernels anywhere
+    (interpret mode off-TPU — the tests/dryrun contract)."""
+    if (mesh is not None
+            and os.environ.get("NFL_TPU_NTT", "auto") == "auto"):
+        try:
+            platform = mesh.devices.flat[0].platform
+        except Exception:
+            platform = None
+        if platform is not None and platform != "tpu":
+            return (False, False)
     return (_dft_backend(ring, n1) is not None,
             _dft_backend(ring, n2) is not None)
 
@@ -584,43 +614,52 @@ def _backend_mods(ring, n1, n2, backends):
     return None, None
 
 
-@functools.lru_cache(maxsize=None)
-def _build_dist_fwd(ring: Ring, mesh: Mesh, n1: int, deg_axis: str,
-                    ndim: int, chunks: int = 1, transpose: str = "a2a",
-                    backends=None):
-    """Cached jitted forward transform (one compile per shape family).
+def _fwd_tables(ring: Ring, mesh: Mesh, n1: int, deg_axis: str, backends):
+    """Shared forward-builder setup: the four-step context, the
+    column-sharded device tables, and the per-device table-view factory.
 
     The [m, n1, n2] elementwise tables (phi twist + four-step twiddle) are
     device_put with the column sharding once per build; each device's shard
     arrives as a shard_map argument, so per-device table memory is 1/D and
-    no gather appears in the compiled program."""
-    n = ring.degree
-    n2 = n // n1
+    no gather appears in the compiled program.  On the twisted MXU path
+    (see four_step_ntt_local) the phi twist folds into the DFT matrices,
+    so only the phi-folded twiddles ship and no phi tables at all."""
+    n2 = ring.degree // n1
     fctx = get_four_step_context(ring, n1, n2)
-    # twisted MXU path (see four_step_ntt_local): ship the phi-folded
-    # twiddles and no phi tables at all
     mod1, mod2 = _backend_mods(ring, n1, n2, backends)
     twisted = mod1 is not None and mod2 is not None
 
     col_sh = NamedSharding(mesh, P(None, None, deg_axis))
     host_tabs = ((fctx.twiddle_tw, fctx.twiddle_tw_s) if twisted else
                  (fctx.phis, fctx.shoupphis, fctx.twiddle, fctx.twiddle_s))
-    # eager even under an outer jit trace: this builder is lru-cached, and
+    # eager even under an outer jit trace: the builders are lru-cached, and
     # a traced device_put would cache tracers (UnexpectedTracerError later)
     with jax.ensure_compile_time_eval():
         tabs = tuple(jax.device_put(np.asarray(t), col_sh)
                      for t in host_tabs)
 
+    def view(shards):
+        if twisted:
+            return _TableView(fctx, twiddle_tw=shards[0],
+                              twiddle_tw_s=shards[1])
+        return _TableView(fctx, phis=shards[0], shoupphis=shards[1],
+                          twiddle=shards[2], twiddle_s=shards[3])
+
+    return fctx, tabs, view
+
+
+@functools.lru_cache(maxsize=None)
+def _build_dist_fwd(ring: Ring, mesh: Mesh, n1: int, deg_axis: str,
+                    ndim: int, chunks: int = 1, transpose: str = "a2a",
+                    backends=None):
+    """Cached jitted forward transform (one compile per shape family);
+    table plumbing in _fwd_tables."""
+    _, tabs, view = _fwd_tables(ring, mesh, n1, deg_axis, backends)
     d = mesh.shape[deg_axis]
 
     def local(xb, *shards):
-        if twisted:
-            f = _TableView(fctx, twiddle_tw=shards[0],
-                           twiddle_tw_s=shards[1])
-        else:
-            f = _TableView(fctx, phis=shards[0], shoupphis=shards[1],
-                           twiddle=shards[2], twiddle_s=shards[3])
-        return four_step_ntt_local(xb, f, col_slice=None, axis_name=deg_axis,
+        return four_step_ntt_local(xb, view(shards), col_slice=None,
+                                   axis_name=deg_axis,
                                    n_devices=d, chunks=chunks,
                                    transpose=transpose, backends=backends)
 
@@ -645,7 +684,7 @@ def distributed_ntt_pow_phi(x, ring: Ring, mesh: Mesh, *, n1=None,
     transpose: 'auto' (ppermute on TPU, a2a elsewhere — see
     _resolve_transpose), or an explicit 'a2a'/'ppermute'.
     """
-    transpose = _resolve_transpose(transpose, chunks)
+    transpose = _resolve_transpose(transpose, chunks, mesh)
     n = ring.degree
     d = mesh.shape[deg_axis]
     if n1 is None:
@@ -656,7 +695,7 @@ def distributed_ntt_pow_phi(x, ring: Ring, mesh: Mesh, *, n1=None,
         assert n1 % (d * chunks) == 0, "chunks must divide the row blocks"
     xr = x.reshape(x.shape[:-1] + (n1, n2))
     fn = _build_dist_fwd(ring, mesh, n1, deg_axis, xr.ndim, chunks,
-                         transpose, _resolved_backends(ring, n1, n2))
+                         transpose, _resolved_backends(ring, n1, n2, mesh))
     return fn(xr)
 
 
@@ -677,28 +716,11 @@ def _build_dist_fwd_pipelined(ring: Ring, mesh: Mesh, n1: int,
     scheduler something to hide other batches' compute behind.  Output is
     bit-identical to running distributed_ntt_pow_phi per batch element
     (tests/test_parallel.py)."""
-    n = ring.degree
-    n2 = n // n1
-    fctx = get_four_step_context(ring, n1, n2)
-    mod1, mod2 = _backend_mods(ring, n1, n2, backends)
-    twisted = mod1 is not None and mod2 is not None
-
-    col_sh = NamedSharding(mesh, P(None, None, deg_axis))
-    host_tabs = ((fctx.twiddle_tw, fctx.twiddle_tw_s) if twisted else
-                 (fctx.phis, fctx.shoupphis, fctx.twiddle, fctx.twiddle_s))
-    with jax.ensure_compile_time_eval():
-        tabs = tuple(jax.device_put(np.asarray(t), col_sh)
-                     for t in host_tabs)
-
+    _, tabs, view = _fwd_tables(ring, mesh, n1, deg_axis, backends)
     d = mesh.shape[deg_axis]
 
     def local(xb, *shards):
-        if twisted:
-            f = _TableView(fctx, twiddle_tw=shards[0],
-                           twiddle_tw_s=shards[1])
-        else:
-            f = _TableView(fctx, phis=shards[0], shoupphis=shards[1],
-                           twiddle=shards[2], twiddle_s=shards[3])
+        f = view(shards)
         outs = [four_step_ntt_local(xb[b], f, col_slice=None,
                                     axis_name=deg_axis, n_devices=d,
                                     transpose=transpose, backends=backends)
@@ -723,6 +745,13 @@ def distributed_ntt_pow_phi_pipelined(x, ring: Ring, mesh: Mesh, *,
     collectives with transform b+1's compute.  Returns [B, m, n1, n2]
     row-sharded four-step layout, bit-identical per element to
     distributed_ntt_pow_phi."""
+    # validates the string and maps 'auto'; default stays ppermute — the
+    # hop-structured transpose is what gives the scheduler something to
+    # overlap other transforms' compute with, on every platform
+    if transpose == "auto":
+        transpose = _resolve_transpose(transpose, 1, mesh)
+    else:
+        _resolve_transpose(transpose)  # reject typos loudly
     n = ring.degree
     d = mesh.shape[deg_axis]
     assert x.ndim == 3, "expected [B, m, n]"
@@ -732,7 +761,7 @@ def distributed_ntt_pow_phi_pipelined(x, ring: Ring, mesh: Mesh, *,
     assert n1 % d == 0 and n2 % d == 0, "factor sizes must split evenly"
     xr = x.reshape(x.shape[:-1] + (n1, n2))
     fn = _build_dist_fwd_pipelined(ring, mesh, n1, deg_axis, x.shape[0],
-                                   _resolved_backends(ring, n1, n2),
+                                   _resolved_backends(ring, n1, n2, mesh),
                                    transpose)
     return fn(xr)
 
@@ -798,7 +827,7 @@ def distributed_invntt_pow_invphi(y, ring: Ring, mesh: Mesh, *, n1=None,
                                   transpose: str = "auto"):
     """Inverse of distributed_ntt_pow_phi: [..., m, n1(sharded), n2] four-step
     layout -> coefficient tensor [..., m, n] sharded over the degree axis."""
-    transpose = _resolve_transpose(transpose, chunks)
+    transpose = _resolve_transpose(transpose, chunks, mesh)
     n = ring.degree
     if n1 is None:
         n1 = 1 << (static_log2(n) // 2)
@@ -807,7 +836,7 @@ def distributed_invntt_pow_invphi(y, ring: Ring, mesh: Mesh, *, n1=None,
         assert (n // n1) % (d * chunks) == 0, \
             "chunks must divide the column blocks"
     fn = _build_dist_inv(ring, mesh, n1, deg_axis, y.ndim, chunks,
-                         transpose, _resolved_backends(ring, n1, n // n1))
+                         transpose, _resolved_backends(ring, n1, n // n1, mesh))
     out = fn(y)
     return out.reshape(out.shape[:-2] + (n,))
 

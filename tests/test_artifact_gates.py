@@ -6,7 +6,6 @@ SCALING.json with `target_8chips_2hosts_ge_085: false` and nobody noticed
 red the moment a failing gate (or a skipped dryrun) is checked in, so the
 artifact and the documentation cannot diverge silently again.
 """
-import glob
 import json
 import pathlib
 
@@ -23,7 +22,7 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize("fname,key", [c for c in CASES])
+@pytest.mark.parametrize("fname,key", CASES)
 def test_artifact_gate_true(fname, key):
     path = ROOT / fname
     if not path.exists():

@@ -383,3 +383,23 @@ def test_batch_pipelined_matches_per_element(degree, agg, limb, ndev, B,
     # input/output spec change, as in test_ppermute_transpose_variant)
     assert hlo.count(" all-to-all(") + hlo.count("all-to-all-start(") <= 1
     assert hlo.count("collective-permute") >= B * (ndev - 1)
+
+
+def test_auto_dispatch_honors_mesh_platform(monkeypatch):
+    """A CPU mesh in a process whose DEFAULT backend is TPU (the axon
+    environment: sitecustomize force-selects the tunnel backend) must
+    still resolve 'auto' to a2a and must NOT route the local sub-DFTs to
+    compiled Mosaic kernels (they cannot lower for CPU devices)."""
+    ring = make_ring(1024, 60, "u32")
+    mesh = _mesh((4,), ("deg",))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("NFL_TPU_NTT", raising=False)
+    assert ntt_dist._resolve_transpose("auto", 1, mesh) == "a2a"
+    assert ntt_dist._resolved_backends(ring, 32, 32, mesh) == (False, False)
+    # explicit NFL_TPU_NTT=mxu still forces the kernels (tests/dryrun)
+    monkeypatch.setenv("NFL_TPU_NTT", "mxu")
+    assert ntt_dist._resolved_backends(ring, 32, 32, mesh) == (True, True)
+    # typos in transpose are rejected loudly instead of falling into a2a
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ntt_dist._resolve_transpose("ppermut")

@@ -164,7 +164,7 @@ def aot_section():
     hlo_pp = _aot_compile("ppermute", 1, ring, n1, mxu=True)
     hlo_pipe = _aot_compile("ppermute", 1, ring, n1, mxu=True, nbatch=4)
 
-    a2a_sync = hlo_a2a.count(" all-to-all(") + hlo_a2a.count("all-to-all(")
+    a2a_sync = hlo_a2a.count("all-to-all(")   # "-start(" won't match this
     a2a_async = hlo_a2a.count("all-to-all-start(")
     mxu_cc = hlo_pp.count("custom-call")
     pp_start = hlo_pp.count("collective-permute-start(")
@@ -233,9 +233,12 @@ def wallclock_section():
                         NamedSharding(mesh, P(None, "deg")))
 
     variants = {
-        "monolithic": dict(chunks=1),
-        "chunks2": dict(chunks=2),
-        "chunks4": dict(chunks=4),
+        # transpose pinned explicitly: this is the a2a-vs-ppermute
+        # comparison, and 'auto' would depend on the process default
+        # backend the AOT section may have initialized
+        "monolithic": dict(chunks=1, transpose="a2a"),
+        "chunks2": dict(chunks=2, transpose="a2a"),
+        "chunks4": dict(chunks=4, transpose="a2a"),
         "ppermute": dict(transpose="ppermute"),
     }
     times = {}
@@ -261,7 +264,7 @@ def wallclock_section():
     # program vs 4 sequential latency-mode calls — must be bit-identical
     # and not cost wall clock even where async collectives don't exist
     B = 4
-    xs = np.stack([x] * 0 + [np.stack([rng.integers(
+    xs = np.stack([np.stack([rng.integers(
         0, int(ring.moduli[cm]), ring.degree) for cm in
         range(ring.nmoduli)]).astype(ring.dtype) for _ in range(B)])
     xbd = jax.device_put(jnp.asarray(xs),

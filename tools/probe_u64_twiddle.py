@@ -12,7 +12,9 @@ intermediates), which would make the fusion a real double-digit-percent
 lever at 2^20.
 
 Cases (paired, interleaved, adaptive K):
-  sep    — production dispatch (matmul1, jnp pair-Shoup bridge, matmul2)
+  old    — production dispatch (matmul1, jnp pair-Shoup bridge, matmul2)
+  new    — pair-native chain: matmul pair I/O + Pallas pair bridge
+           (built explicitly; REJECTED for production by this A/B)
   fused  — matmul1 with twiddle=(tw, tws) epilogue, matmul2 (no bridge)
   bridge — the jnp pair-Shoup twiddle alone
 
@@ -68,8 +70,23 @@ def main():
             return o.reshape(v.shape)
 
         def new(v):
-            """Round-5 production path: pair I/O + Pallas pair bridge."""
-            return ntt_mxu_u64.ntt_pow_phi_fused(v, ctx, interpret=False)
+            """Pair-native chain: matmul pair I/O + Pallas pair bridge
+            (ops/pair_bridge.py).  Built EXPLICITLY here — production
+            dispatch reverted to the jnp bridge (`old`) after this A/B
+            measured the pair chain ~1.04-1.07x slower in-chain (commit
+            1372049), so calling ntt_pow_phi_fused would just re-measure
+            `old` and silently destroy the rejection evidence."""
+            from nfllib_tpu.ops import pair_bridge
+            from nfllib_tpu.ops.ntt_pallas_u64 import _split
+            assert pair_bridge.supports_shape(n1, n2)
+            f = dft_mxu.matmul_mod(v.reshape(-1, m, n1, n2), ring,
+                                   "ntt64_e1_fwd", n1, axis=-2,
+                                   interpret=False, pair_out=True)
+            f = pair_bridge.mulmod_shoup_pairs(f, _split(tw), _split(tws),
+                                               ring, interpret=False)
+            o = dft_mxu.matmul_mod(f, ring, "ntt64_e2_fwd", n2, axis=-1,
+                                   interpret=False)
+            return o.reshape(v.shape)
 
         def fused(v):
             f = dft_mxu.matmul_mod(v.reshape(-1, m, n1, n2), ring,

@@ -143,6 +143,32 @@ def hlo_all_to_all_bytes(ring, mesh, chunks):
     return total, count
 
 
+_COLLECTIVE_RE = re.compile(
+    r"all-to-all|all-reduce|collective-permute|all-gather|reduce-scatter")
+
+
+def batch_rns_collective_count():
+    """Count collectives in the compiled HLO of a batch+rns-sharded NTT —
+    the zero-comm property the adversarial mapping's 1.0 efficiency rests
+    on.  COMPUTED here (not asserted as prose) so the gate fails loudly if
+    a resharding collective ever creeps into the batch/rns path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P_
+
+    from nfllib_tpu.ops import ntt as ntt_jnp
+
+    ring = nfl.Ring("u32", 1 << 14, 4)
+    ctx = ring.context()
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]).reshape(2, 4),
+                axis_names=("batch", "rns"))
+    sh = NamedSharding(mesh, P_("batch", "rns", None))
+    x = jnp.zeros((4, ring.nmoduli, ring.degree), dtype=ring.dtype)
+    with mesh:
+        hlo = jax.jit(lambda v: ntt_jnp.ntt_pow_phi(v, ctx),
+                      in_shardings=sh, out_shardings=sh) \
+            .lower(jax.device_put(x, sh)).compile().as_text()
+    return len(_COLLECTIVE_RE.findall(hlo))
+
+
 def comm_time(total_bytes, d, ici_bw):
     """Per-device serialized ICI time: each chip sends (d-1)/d of its 1/d
     shard; chunks/hops do not add or hide link time (they serialize)."""
@@ -282,15 +308,24 @@ def main():
         }
         print(f"adversarial d={d}: deg-sharded thr={thr_deg:.3f}",
               flush=True)
+    # the production mapping's 1.0 is GATED on the zero-collective
+    # property, verified on the compiled HLO here and now — if a
+    # resharding collective ever creeps into the batch/rns path, the
+    # adversarial gate falls back to the computed deg-sharded numbers
+    # (and fails, as it should)
+    n_coll = batch_rns_collective_count()
+    adv_best = (1.0 if n_coll == 0 else
+                max(results["adversarial"][f"d{d}"]
+                    ["eff_throughput_deg_sharded"] for d in (2, 4, 8)))
     results["adversarial"]["batch_rns_mapping"] = {
-        "eff_throughput": 1.0,
+        "eff_throughput": adv_best,
+        "hlo_collective_ops": n_coll,
         "why": "independent transforms shard the batch/rns mesh axes with "
-               "ZERO collectives (HLO-verified: tests/test_parallel.py "
-               "test_rns_batch_sharded_ntt, test_comm_volume_*); the "
-               "deg axis is for degrees too large per chip, not for "
+               "ZERO collectives (verified on the compiled HLO above; "
+               "also tests/test_parallel.py test_rns_batch_sharded_ntt); "
+               "the deg axis is for degrees too large per chip, not for "
                "throughput on small fast shapes",
     }
-    adv_best = 1.0
 
     # ---- sensitivity ------------------------------------------------------
     sens = {}
