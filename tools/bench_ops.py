@@ -50,20 +50,26 @@ def _rand(ring, rng, batch=BATCH):
     return out.astype(ring.dtype)
 
 
-def _time_device(fn_one, x, reps=5, chain=64):
+def _time_device(fn_one, x, reps=5, chain=64, target_diff_s=0.03,
+                 max_chain=65536):
     """us per application of fn_one (chain-differenced, batch amortized).
 
-    One compiled program with a dynamic fori_loop trip count: K=1 and K=chain
+    One compiled program with a dynamic fori_loop trip count: K=1 and K
     share the compilation, and the time difference cancels the tunnel RTT.
+    The chain length is ADAPTIVE (round-5 protocol lesson, CLAUDE.md): the
+    RTT min itself jitters by single-digit ms, so K is grown until the
+    differenced quantity (K-1)*t_app clears `target_diff_s` — `chain` is
+    only the starting point.  A fixed small K (the round 2-4 harness) put
+    fast primitives' readings inside the noise.
     """
     def f(v, k):
         return jax.lax.fori_loop(0, k, lambda i, vv: fn_one(vv), v)
     jf = jax.jit(f)
     idx = (0,) * x.ndim
 
-    def run(k):
+    def run(k, n=reps):
         best = float("inf")
-        for _ in range(reps):
+        for _ in range(n):
             t0 = time.perf_counter()
             o = jf(x, k)
             _ = np.asarray(o[idx])
@@ -71,8 +77,20 @@ def _time_device(fn_one, x, reps=5, chain=64):
         return best
 
     _ = np.asarray(jf(x, 1)[idx])   # compile once
-    t1, tk = run(1), run(chain + 1)
-    return max(tk - t1, 1e-12) / chain * 1e6
+    # coarse estimate with the starting chain, then size K to the target
+    t1, tk = run(1, 2), run(chain + 1, 2)
+    t_est = max((tk - t1) / chain, 1e-8)
+    K = int(min(max(np.ceil(target_diff_s / t_est) + 1, chain + 1),
+                max_chain))
+    while True:
+        run(K, 1)                    # warm the long-chain dispatch
+        t1, tk = run(1), run(K)
+        # an RTT spike during the estimate can under-size K; if the
+        # measured difference still sits inside the jitter floor, grow K
+        # and re-measure rather than record noise
+        if tk - t1 >= target_diff_s / 3 or K >= max_chain:
+            return max(tk - t1, 1e-12) / (K - 1) * 1e6
+        K = int(min(K * 8, max_chain))
 
 
 def _time_host(fn, reps=20):
