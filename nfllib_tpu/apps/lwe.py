@@ -71,7 +71,8 @@ def _fused_chain_module(ring):
     transform advantage dominates.  The VPU chain kernels serve the shapes
     the MXU kernels can't (u64 degrees > 65536) and NFL_TPU_NTT=pallas
     mode; =jnp opts out of kernels entirely."""
-    mode = os.environ.get("NFL_TPU_NTT", "auto")
+    from ..ops.ntt import auto_on_tpu, kernel_mode
+    mode = kernel_mode()
     if mode == "jnp":
         return None
     if ring.limb == "u64":
@@ -88,7 +89,7 @@ def _fused_chain_module(ring):
         return None
     if mode in ("pallas", "mxu"):
         return mod
-    return mod if jax.default_backend() == "tpu" else None
+    return mod if auto_on_tpu() else None
 
 
 def _use_fused_chain(ring) -> bool:

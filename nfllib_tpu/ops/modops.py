@@ -192,6 +192,39 @@ def compute_shoup(y, p):
     dt = jnp.dtype(y.dtype)
     if dt in _WIDER:
         w = _WIDER[dt]
+        wbits = int(repr_bits(dt))
+        if not isinstance(p, jax.core.Tracer):
+            # Barrett in the wider lanes — TPU integer division is emulated
+            # (O(bits) restoring), so replace % and // with two multiplies
+            # when p is a trace-time constant of the tier's standard
+            # modulus width (u16: 14-bit, u32: 30-bit — every params.py
+            # prime).  b = wbits-2, F = floor(2^(2b)/p) per modulus:
+            #   qy   = floor(y*F/2^2b)  in [floor(y/p)-1, floor(y/p)]
+            #          (y < 2^w, F < 2^(w-1) -> y*F < 2^(2w-1) fits; the
+            #          slack p*y/2^2b < 4 -> yr < p+4 < 2p, one subtract)
+            #   qhat = floor(yr*F/2^(2b-w)) in [q-3, q] (yr < p, yr*F <
+            #          2^2b fits; slack yr/2^(2b-w) < 2^(w-b) = 4)
+            #   r    = yr*2^w - qhat*p < 5p fits the wider lanes; <= 4
+            #          conditional corrections make qhat exact.
+            ph = np.asarray(p)
+            bl = {int(v).bit_length() for v in ph.reshape(-1)}
+            if bl == {wbits - 2}:
+                b2 = 2 * (wbits - 2)
+                F = jnp.asarray(np.array(
+                    [(1 << b2) // int(v) for v in ph.reshape(-1)],
+                    dtype=np.dtype(w)).reshape(ph.shape))
+                yw = y.astype(w)
+                pw = jnp.asarray(ph).astype(w)
+                qy = (yw * F) >> b2
+                yr = yw - qy * pw
+                yr = yr - jnp.where(yr >= pw, pw, 0).astype(w)
+                qhat = (yr * F) >> (b2 - wbits)
+                r = (yr << wbits) - qhat * pw
+                for _ in range(4):
+                    ge = r >= pw
+                    qhat = qhat + ge.astype(w)
+                    r = r - jnp.where(ge, pw, 0).astype(w)
+                return qhat.astype(dt)
         yr = (y.astype(w) % p.astype(w))
         return ((yr << repr_bits(dt)) // p.astype(w)).astype(dt)
     # uint64: Barrett with F = floor(2^125 / p), which fits u64 for the

@@ -46,12 +46,35 @@ def _strict_bracket(fn, x, ctx):
     return out
 
 
+def kernel_mode() -> str:
+    """The NFL_TPU_NTT override, read at CALL time (the single reader —
+    round-5 review: four dispatch sites each parsed the env var and the
+    platform rule themselves, a drift hazard).  Values: "auto" (platform
+    decides), "jnp" (no kernels), "pallas" (VPU butterfly kernels), "mxu"
+    (fused MXU kernels, interpret mode off-TPU)."""
+    return os.environ.get("NFL_TPU_NTT", "auto")
+
+
+def auto_on_tpu(mesh=None) -> bool:
+    """The platform rule every "auto" dispatch shares: kernels compile on
+    TPU only.  When a MESH is given its devices' platform decides (a CPU
+    mesh in a TPU-default process must NOT get compiled Mosaic — see
+    parallel/ntt_dist._resolved_backends); otherwise the process default
+    backend."""
+    if mesh is not None:
+        try:
+            return mesh.devices.flat[0].platform == "tpu"
+        except Exception:
+            pass
+    return jax.default_backend() == "tpu"
+
+
 def _pallas_backend(ring):
     """Dispatch policy: Pallas kernels on real TPUs, the jnp path elsewhere
     (tests, CPU).  Returns the kernel module (ntt_pallas for u16/u32,
     ntt_pallas_u64 for the paired-u32 62-bit tier) or None.
     NFL_TPU_NTT=jnp|pallas|mxu overrides."""
-    mode = os.environ.get("NFL_TPU_NTT", "auto")
+    mode = kernel_mode()
     if mode == "jnp":
         return None
     if ring.limb == "u64":
@@ -62,7 +85,7 @@ def _pallas_backend(ring):
         return None
     if mode in ("pallas", "mxu"):
         return mod
-    return mod if jax.default_backend() == "tpu" else None
+    return mod if auto_on_tpu() else None
 
 
 def _fused_mxu_module(ring):
@@ -72,7 +95,7 @@ def _fused_mxu_module(ring):
     n=256/1024 (docs/BENCHMARKS.md), and 5.1-5.4x over the paired-u32 VPU
     kernel on the 62-bit tier at n=8192/32768.  NFL_TPU_NTT=pallas forces
     the VPU kernels instead.  Returns the kernel module or None."""
-    mode = os.environ.get("NFL_TPU_NTT", "auto")
+    mode = kernel_mode()
     if mode in ("jnp", "pallas"):
         return None
     if ring.limb == "u64":
@@ -83,7 +106,7 @@ def _fused_mxu_module(ring):
         return None
     if mode == "mxu":
         return mod
-    return mod if jax.default_backend() == "tpu" else None
+    return mod if auto_on_tpu() else None
 
 
 def _use_fused_mxu(ring) -> bool:

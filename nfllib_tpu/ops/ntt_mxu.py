@@ -42,6 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ring import _powers_mod
 from ..utils import bitrev_indices, static_log2
 from . import modops
 
@@ -88,20 +89,12 @@ def _fused_geometry(n, limb="u32"):
 
 
 def _balanced_digits_host(v):
-    """uint64 [r, c] (< 2^31) -> [4, r, c] int8 balanced base-256 digits:
-    v = sum_a d_a * 256^a with d_a in [-128, 128)."""
-    v = v.astype(np.int64)
-    digs = []
-    carry = np.zeros_like(v)
-    for a in range(3):
-        u = ((v >> (8 * a)) & 0xFF) + carry
-        carry = (u >= 128).astype(np.int64)
-        digs.append(u - (carry << 8))
-    top = (v >> 24) + carry          # < 2^7 for v < 2^31 - 2^24
-    digs.append(top)
-    out = np.stack(digs, axis=0)
-    assert out.min() >= -128 and out.max() <= 127
-    return out.astype(np.int8)
+    """[r, c] (< 2^31) -> [4, r, c] int8 balanced base-256 digits:
+    v = sum_a d_a * 256^a with d_a in [-128, 128).  One implementation for
+    all three kernel modules: dft_mxu._balanced_digits_np (generic ndig,
+    vectorized)."""
+    from .dft_mxu import _balanced_digits_np
+    return _balanced_digits_np(np.asarray(v).astype(np.uint64), 4)
 
 
 def _limb_dtype():
@@ -304,6 +297,10 @@ def _fused_tables(ring):
     shoup1 = _recombine_consts(ring, ndig)
     wshift = 16 if ring.limb == "u16" else 32
 
+    r1 = np.asarray(rev1, dtype=np.int64)
+    r2 = np.asarray(rev2, dtype=np.int64)
+    i1s = np.arange(n1, dtype=np.int64)
+    i2s = np.arange(n2, dtype=np.int64)
     for cm in range(m):
         p = int(ring.moduli[cm])
         w = ctx.omega_int[cm]
@@ -311,17 +308,23 @@ def _fused_tables(ring):
         wc, wr = pow(w, n2, p), pow(w, n1, p)
         # the phi^i pre-twist factors as phi^(i2 + n2*i1) =
         # (phi^n2)^i1 * phi^i2: the i1 part folds into W1's columns, the i2
-        # part into the twiddle table — the kernel has NO twist stage
-        e1 = np.array([[(pow(wc, int(rev1[r]) * i1, p)
-                         * pow(phi, n2 * i1, p)) % p for i1 in range(n1)]
-                       for r in range(n1)], dtype=np.uint64)
-        e2 = np.array([[pow(wr, i2 * int(rev2[c]), p) for c in range(n2)]
-                       for i2 in range(n2)], dtype=np.uint64)
-        t = np.array([[(pow(w, int(rev1[r]) * i2, p)
-                        * pow(phi, i2, p)) % p for i2 in range(n2)]
-                      for r in range(n1)], dtype=np.uint64)
+        # part into the twiddle table — the kernel has NO twist stage.
+        # VECTORIZED: entries are base^idx * scale^i with idx reducible
+        # mod the base's order — iterative power tables (_powers_mod) +
+        # fancy indexing replace the n1^2 + n2^2 + n1*n2 python pow()
+        # calls (products fit uint64: p < 2^30).
+        pw_wc = _powers_mod(wc, n1, p)                 # order n1
+        pw_wr = _powers_mod(wr, n2, p)                 # order n2
+        pw_w = _powers_mod(w, n, p)                    # order n
+        phi_n2 = _powers_mod(pow(phi, n2, p), n1, p)
+        phi_i2 = _powers_mod(phi, n2, p)
+        e1 = (pw_wc[(r1[:, None] * i1s[None, :]) % n1]
+              * phi_n2[None, :]) % p
+        e2 = pw_wr[(i2s[:, None] * r2[None, :]) % n2]
+        t = (pw_w[(r1[:, None] * i2s[None, :]) % n]
+             * phi_i2[None, :]) % p
         tw[cm] = t
-        tws[cm] = ((t.astype(object) << wshift) // p).astype(np.uint64)
+        tws[cm] = (t << np.uint64(wshift)) // np.uint64(p)
         c1, c2 = _fill_digit_planes(w1l[cm], w2l[cm], e1, e2, p, dbits, ndig)
         corr1[cm, :, 0] = c1
         corr2[cm, 0, :] = c2
@@ -679,6 +682,10 @@ def _fused_inv_tables(ring):
     shoup1 = _recombine_consts(ring, ndig)
     wshift = 16 if ring.limb == "u16" else 32
 
+    r1 = np.asarray(rev1, dtype=np.int64)
+    r2 = np.asarray(rev2, dtype=np.int64)
+    i1s = np.arange(n1, dtype=np.int64)
+    i2s = np.arange(n2, dtype=np.int64)
     for cm in range(m):
         p = int(ring.moduli[cm])
         w = ctx.omega_int[cm]
@@ -689,18 +696,21 @@ def _fused_inv_tables(ring):
         # the n^-1 * phi^-i untwist factors as
         # inv_deg * (phi^-n2)^i1 * (phi^-1)^i2: the i1 part folds into
         # W1inv's rows, the i2 part (with inv_deg) into the inverse twiddle
-        # — the kernel has NO untwist stage
-        e1 = np.array([[(pow(iwc, i1 * int(rev1[r]), p)
-                         * pow(iphi, n2 * i1, p)) % p for r in range(n1)]
-                       for i1 in range(n1)], dtype=np.uint64)     # W1inv'
-        e2 = np.array([[pow(iwr, int(rev2[c]) * i2, p) for i2 in range(n2)]
-                       for c in range(n2)], dtype=np.uint64)      # W2inv
-        t = np.array([[(pow(iw, int(rev1[r]) * i2, p)
-                        * inv_deg * pow(iphi, i2, p)) % p
-                       for i2 in range(n2)]
-                      for r in range(n1)], dtype=np.uint64)       # Tinv'
+        # — the kernel has NO untwist stage.  Vectorized like
+        # _fused_tables: power tables + fancy indexing instead of
+        # per-entry pow().
+        pw_iwc = _powers_mod(iwc, n1, p)
+        pw_iwr = _powers_mod(iwr, n2, p)
+        pw_iw = _powers_mod(iw, n, p)
+        iphi_n2 = _powers_mod(pow(iphi, n2, p), n1, p)
+        iphi_i2 = _powers_mod(iphi, n2, p, start=inv_deg)
+        e1 = (pw_iwc[(i1s[:, None] * r1[None, :]) % n1]
+              * iphi_n2[:, None]) % p                             # W1inv'
+        e2 = pw_iwr[(r2[:, None] * i2s[None, :]) % n2]            # W2inv
+        t = (pw_iw[(r1[:, None] * i2s[None, :]) % n]
+             * iphi_i2[None, :]) % p                              # Tinv'
         tw[cm] = t
-        tws[cm] = ((t.astype(object) << wshift) // p).astype(np.uint64)
+        tws[cm] = (t << np.uint64(wshift)) // np.uint64(p)
         c1, c2 = _fill_digit_planes(w1l[cm], w2l[cm], e1, e2, p, dbits, ndig)
         corr1[cm, :, 0] = c1
         corr2[cm, 0, :] = c2

@@ -35,6 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ring import _np_mulmod_vec, _np_shoup_vec, _powers_mod
 from ..utils import bitrev_indices, static_log2
 from . import modops
 from .ntt_pallas_u64 import (
@@ -68,37 +69,34 @@ def _geometry(n):
 
 
 def _balanced_digits_host64(v):
-    """uint64-ish [r, c] (< 2^63 - 2^56) -> [8, r, c] int8 balanced base-256
-    digits."""
-    v = np.asarray(v, dtype=np.uint64).astype(object)
-    digs = []
-    carry = np.zeros(v.shape, dtype=object)
-    for a in range(_NDIG - 1):
-        u = ((v >> (8 * a)) & 0xFF) + carry
-        carry = (u >= 128).astype(object)
-        digs.append(u - (carry << 8))
-    digs.append((v >> (8 * (_NDIG - 1))) + carry)
-    out = np.stack([d.astype(np.int64) for d in digs], axis=0)
-    assert out.min() >= -128 and out.max() <= 127
-    return out.astype(np.int8)
+    """uint64-ish [r, c] (< 2^63 - 2^56) -> [8, r, c] int8 balanced
+    base-256 digits (delegates to the one vectorized implementation,
+    dft_mxu._balanced_digits_np — this module's old copy ran in
+    object-dtype python ints)."""
+    from .dft_mxu import _balanced_digits_np
+    return _balanced_digits_np(np.asarray(v, dtype=np.uint64), _NDIG)
 
 
 def _fill_planes64(w1_cm, w2_cm, e1, e2, p):
     """Digit planes of the pre-scaled DFT matrices + the offset-byte
     correction sums (128 * row/col sums of every W^(b), minus the
-    recombination bias over-count), as python ints mod p."""
+    recombination bias over-count).  e1/e2 arrive as uint64 canonical
+    residues; the per-plane 2^(8b) scale is an exact vectorized Barrett
+    mulmod (_np_mulmod_vec) and only the overflow-prone correction sums
+    run in python ints."""
+    from ..ring import _np_mulmod_vec
     corr1 = np.zeros(e1.shape[0], dtype=object)
     corr2 = np.zeros(e2.shape[1], dtype=object)
     for b in range(_NDIG):
-        s1 = (e1 * pow(2, 8 * b, p)) % p
-        s2 = (e2 * pow(2, 8 * b, p)) % p
+        s1 = _np_mulmod_vec(e1, np.uint64(pow(2, 8 * b, p)), p)
+        s2 = _np_mulmod_vec(e2, np.uint64(pow(2, 8 * b, p)), p)
         d1 = _balanced_digits_host64(s1)
         d2 = _balanced_digits_host64(s2)
         for a in range(_NDIG):
             w1_cm[_NDIG * a + b] = d1[a]
             w2_cm[_NDIG * a + b] = d2[a]
-        corr1 += 128 * s1.sum(axis=1)
-        corr2 += 128 * s2.sum(axis=0)
+        corr1 += 128 * s1.astype(object).sum(axis=1)
+        corr2 += 128 * s2.astype(object).sum(axis=0)
     c1 = np.array([(int(v) - _BIAS_SUM) % p for v in corr1], dtype=np.uint64)
     c2 = np.array([(int(v) - _BIAS_SUM) % p for v in corr2], dtype=np.uint64)
     return c1, c2
@@ -120,40 +118,51 @@ def _tables64(ring, inverse):
     corr2 = np.zeros((m, 1, n2), dtype=np.uint64)
     mbar = np.empty((m, 1, 1), dtype=np.uint64)   # floor(2^124/p)
 
+    r1 = np.asarray(rev1, dtype=np.int64)
+    r2 = np.asarray(rev2, dtype=np.int64)
+    i1s = np.arange(n1, dtype=np.int64)
+    i2s = np.arange(n2, dtype=np.int64)
     for cm in range(m):
         p = int(ring.moduli[cm])
         w = ctx.omega_int[cm]
         phi = ctx.phi_int[cm]
+        # VECTORIZED table math (the n1^2 + n2^2 + n1*n2 per-entry python
+        # pow() loops cost tens of seconds at degree 65536 x many
+        # channels): each matrix entry is base^(idx) * scale^i with idx
+        # reducible mod the base's order, so one iterative power table
+        # per base (_powers_mod) + fancy indexing + one exact Barrett
+        # mulmod (_np_mulmod_vec) replaces every pow().
         if not inverse:
             wc, wr = pow(w, n2, p), pow(w, n1, p)
-            e1 = np.array(
-                [[(pow(wc, int(rev1[r]) * i1, p) * pow(phi, n2 * i1, p)) % p
-                  for i1 in range(n1)] for r in range(n1)], dtype=object)
-            e2 = np.array(
-                [[pow(wr, i2 * int(rev2[c]), p) for c in range(n2)]
-                 for i2 in range(n2)], dtype=object)
-            t = np.array(
-                [[(pow(w, int(rev1[r]) * i2, p) * pow(phi, i2, p)) % p
-                  for i2 in range(n2)] for r in range(n1)], dtype=object)
+            pw_wc = _powers_mod(wc, n1, p, obj=True)       # order n1
+            pw_wr = _powers_mod(wr, n2, p, obj=True)       # order n2
+            pw_w = _powers_mod(w, n, p, obj=True)          # order n
+            phi_n2 = _powers_mod(pow(phi, n2, p), n1, p, obj=True)
+            phi_i2 = _powers_mod(phi, n2, p, obj=True)
+            e1 = _np_mulmod_vec(pw_wc[(r1[:, None] * i1s[None, :]) % n1],
+                                phi_n2[None, :], p)
+            e2 = pw_wr[(i2s[:, None] * r2[None, :]) % n2]
+            t = _np_mulmod_vec(pw_w[(r1[:, None] * i2s[None, :]) % n],
+                               phi_i2[None, :], p)
         else:
             iw = pow(w, -1, p)
             iphi = pow(phi, -1, p)
             inv_deg = int(ctx.invpolyDegree[cm])
             iwc, iwr = pow(iw, n2, p), pow(iw, n1, p)
-            e1 = np.array(
-                [[(pow(iwc, i1 * int(rev1[r]), p)
-                   * pow(iphi, n2 * i1, p)) % p for r in range(n1)]
-                 for i1 in range(n1)], dtype=object)            # W1inv'
-            e2 = np.array(
-                [[pow(iwr, int(rev2[c]) * i2, p) for i2 in range(n2)]
-                 for c in range(n2)], dtype=object)             # W2inv
-            t = np.array(
-                [[(pow(iw, int(rev1[r]) * i2, p)
-                   * inv_deg * pow(iphi, i2, p)) % p
-                  for i2 in range(n2)] for r in range(n1)], dtype=object)
-        tw[cm] = t.astype(np.uint64)
-        tws[cm] = np.array([[(int(v) << 64) // p for v in row] for row in t],
-                           dtype=object).astype(np.uint64)
+            pw_iwc = _powers_mod(iwc, n1, p, obj=True)
+            pw_iwr = _powers_mod(iwr, n2, p, obj=True)
+            pw_iw = _powers_mod(iw, n, p, obj=True)
+            iphi_n2 = _powers_mod(pow(iphi, n2, p), n1, p, obj=True)
+            # n^-1 folds into the iphi^i2 scale of the twiddle
+            iphi_i2 = _powers_mod(iphi, n2, p, start=inv_deg, obj=True)
+            e1 = _np_mulmod_vec(                            # W1inv'
+                pw_iwc[(i1s[:, None] * r1[None, :]) % n1],
+                iphi_n2[:, None], p)
+            e2 = pw_iwr[(r2[:, None] * i2s[None, :]) % n2]  # W2inv
+            t = _np_mulmod_vec(pw_iw[(r1[:, None] * i2s[None, :]) % n],
+                               iphi_i2[None, :], p)
+        tw[cm] = t
+        tws[cm] = _np_shoup_vec(t, p, 64)
         c1, c2 = _fill_planes64(w1l[cm], w2l[cm], e1, e2, p)
         corr1[cm, :, 0] = c1
         corr2[cm, 0, :] = c2

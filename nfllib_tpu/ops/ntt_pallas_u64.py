@@ -285,25 +285,15 @@ def _ntt_kernel(n, log_r, twist, strict, inverse,
 
 # Pairs double the u32 kernel's working set (ntt_pallas measured ~22 words
 # per element per channel), plus live double-word temporaries.
-_VMEM_PER_CHAN_FACTOR = 48        # * n * 4 bytes
-_VMEM_LIMIT = 15 * 1024 * 1024
+_VMEM_PER_CHAN_FACTOR = 48        # * n * 4 bytes (pair hi/lo arrays)
 
 
 def _channel_group(ring, factor=_VMEM_PER_CHAN_FACTOR):
-    n, m = ring.degree, ring.nmoduli
-    per_chan = n * 4 * factor
-    mg_max = max(1, min(m, _VMEM_LIMIT // per_chan))
-    best = (1, m)
-    best_cost = (0, 0)
-    for mg in range(1, mg_max + 1):
-        padded = -(-m // mg) * mg
-        if padded > m + max(1, (15 * m) // 100) and mg > 1:
-            continue
-        cost = (mg, -padded)
-        if cost > best_cost:
-            best_cost = cost
-            best = (mg, padded)
-    return best
+    """One heuristic, one copy: delegates to ntt_pallas._channel_group —
+    the u64 tier differs only in its default VMEM factor (the pair
+    kernels hold hi/lo arrays for every buffer)."""
+    from .ntt_pallas import _channel_group as _cg
+    return _cg(ring, factor)
 
 
 @functools.lru_cache(maxsize=None)

@@ -46,16 +46,14 @@ def _dft_backend(ring, size):
     jnp stage loops elsewhere.  NFL_TPU_NTT=mxu forces the kernels (interpret
     mode off-TPU, used by tests and the driver dryrun); jnp/pallas force the
     stage loop."""
-    mode = os.environ.get("NFL_TPU_NTT", "auto")
+    from ..ops.ntt import auto_on_tpu, kernel_mode
+    mode = kernel_mode()
     if mode in ("jnp", "pallas"):
         return None
     from ..ops import dft_mxu
     if not dft_mxu.supports(ring, size):
         return None
-    if mode == "mxu":
-        _ensure_twisted_providers()
-        return dft_mxu
-    if jax.default_backend() == "tpu":
+    if mode == "mxu" or auto_on_tpu():
         _ensure_twisted_providers()
         return dft_mxu
     return None
@@ -151,14 +149,6 @@ class FourStepContext:
         self.row_ws = np.empty(shape2, dtype=dt)
         self.row_iw = np.empty(shape2, dtype=dt)
         self.row_iws = np.empty(shape2, dtype=dt)
-        self.twiddle = np.empty((m, n1, n2), dtype=dt)    # w^(k1*i2)
-        self.twiddle_s = np.empty((m, n1, n2), dtype=dt)
-        self.itwiddle = np.empty((m, n1, n2), dtype=dt)   # w^(-k1*i2)
-        self.itwiddle_s = np.empty((m, n1, n2), dtype=dt)
-        self.twiddle_tw = np.empty((m, n1, n2), dtype=dt)   # * phi^(i2)
-        self.twiddle_tw_s = np.empty((m, n1, n2), dtype=dt)
-        self.itwiddle_tw = np.empty((m, n1, n2), dtype=dt)  # * n^-1 phi^-i2
-        self.itwiddle_tw_s = np.empty((m, n1, n2), dtype=dt)
 
         for cm in range(m):
             p = int(ring.moduli[cm])
@@ -174,45 +164,6 @@ class FourStepContext:
                                                _sub_tables(p, w2, n2, wbits, obj)]
             self.row_iw[cm], self.row_iws[cm] = [a.astype(dt) for a in
                                                  _sub_tables(p, iw2, n2, wbits, obj)]
-            # twiddle[k1, i2] = w^(k1*i2), built column-iteratively with
-            # vectorized exact modmuls (no per-k1 python loop: n1 calls of
-            # _powers_mod was O(n) interpreter work at n = 2^20 — round-2
-            # VERDICT item 4)
-            k1pows = _powers_mod(w, n1, p, obj=obj)       # w^k1
-            ik1pows = _powers_mod(iw, n1, p, obj=obj)
-            t = np.empty((n1, n2), dtype=np.uint64)
-            it = np.empty((n1, n2), dtype=np.uint64)
-            t[:, 0] = 1
-            it[:, 0] = 1
-            k1_u64 = np.asarray(k1pows).astype(np.uint64)
-            ik1_u64 = np.asarray(ik1pows).astype(np.uint64)
-            for i2 in range(1, n2):
-                t[:, i2] = _np_mulmod_vec(t[:, i2 - 1], k1_u64, p)
-                it[:, i2] = _np_mulmod_vec(it[:, i2 - 1], ik1_u64, p)
-            self.twiddle[cm] = t.astype(dt)
-            self.twiddle_s[cm] = _np_shoup_vec(
-                t.reshape(-1), p, wbits).reshape(n1, n2).astype(dt)
-            self.itwiddle[cm] = it.astype(dt)
-            self.itwiddle_s[cm] = _np_shoup_vec(
-                it.reshape(-1), p, wbits).reshape(n1, n2).astype(dt)
-            # MXU-path twisted variants (_colmat_twisted): the phi^(+-i2)
-            # pre/un-twist parts (and n^-1 on the inverse) fold into the
-            # twiddles, so the elementwise twist passes disappear
-            phi = ctx.phi_int[cm]
-            iphi = pow(phi, -1, p)
-            inv_n = int(ctx.invpolyDegree[cm])
-            phi_i2 = np.array([pow(phi, i2, p) for i2 in range(n2)],
-                              dtype=np.uint64)
-            iphi_i2 = np.array([(pow(iphi, i2, p) * inv_n) % p
-                                for i2 in range(n2)], dtype=np.uint64)
-            ttw = _np_mulmod_vec(t, phi_i2[None, :], p)
-            itt = _np_mulmod_vec(it, iphi_i2[None, :], p)
-            self.twiddle_tw[cm] = ttw.astype(dt)
-            self.twiddle_tw_s[cm] = _np_shoup_vec(
-                ttw.reshape(-1), p, wbits).reshape(n1, n2).astype(dt)
-            self.itwiddle_tw[cm] = itt.astype(dt)
-            self.itwiddle_tw_s[cm] = _np_shoup_vec(
-                itt.reshape(-1), p, wbits).reshape(n1, n2).astype(dt)
 
         # phi pre-twist and inverse un-twist reshaped to [m, n1, n2]
         self.phis = ctx.phis.reshape(m, n1, n2)
@@ -222,6 +173,133 @@ class FourStepContext:
 
         self.rev1 = bitrev_indices(n1)
         self.rev2 = bitrev_indices(n2)
+
+    # --- [m, n1, n2] elementwise twiddle tables, built LAZILY per family -
+    # Any one pipeline direction/backend reads only one of the four
+    # (value, shoup) families below; eager __init__ construction built all
+    # four (12 full-size arrays + 4 shoup passes) on first context use.
+
+    @functools.cached_property
+    def _t_it(self):
+        """uint64 [m, n1, n2] w^(k1*i2) and w^(-k1*i2) — the shared
+        intermediate, built column-iteratively with vectorized exact
+        modmuls (no per-k1 python loop: round-2 VERDICT item 4)."""
+        ring = self.plan.ring
+        n1, n2 = self.plan.n1, self.plan.n2
+        m = ring.nmoduli
+        obj = ring.limb == "u64"
+        ctx = ring.context()
+        t_all = np.empty((m, n1, n2), dtype=np.uint64)
+        it_all = np.empty((m, n1, n2), dtype=np.uint64)
+        for cm in range(m):
+            p = int(ring.moduli[cm])
+            w = ctx.omega_int[cm]
+            iw = pow(w, -1, p)
+            k1_u64 = np.asarray(_powers_mod(w, n1, p, obj=obj)
+                                ).astype(np.uint64)
+            ik1_u64 = np.asarray(_powers_mod(iw, n1, p, obj=obj)
+                                 ).astype(np.uint64)
+            t_all[cm, :, 0] = 1
+            it_all[cm, :, 0] = 1
+            for i2 in range(1, n2):
+                t_all[cm, :, i2] = _np_mulmod_vec(
+                    t_all[cm, :, i2 - 1], k1_u64, p)
+                it_all[cm, :, i2] = _np_mulmod_vec(
+                    it_all[cm, :, i2 - 1], ik1_u64, p)
+        return t_all, it_all
+
+    def _with_shoup(self, vals):
+        """(values, shoup) pair in the ring dtype from uint64 canonical."""
+        ring = self.plan.ring
+        dt = ring.dtype
+        wbits = ring.repr_bits
+        s = np.empty(vals.shape, dtype=np.uint64)
+        for cm in range(ring.nmoduli):
+            p = int(ring.moduli[cm])
+            s[cm] = _np_shoup_vec(vals[cm].reshape(-1), p,
+                                  wbits).reshape(vals.shape[1:])
+        return vals.astype(dt), s.astype(dt)
+
+    def _i2_scale(self, inverse):
+        """phi^(i2) (fwd) or n^-1 * phi^(-i2) (inv) per channel — the
+        twist part that folds into the MXU-path twiddles."""
+        ring = self.plan.ring
+        n2 = self.plan.n2
+        obj = ring.limb == "u64"
+        ctx = ring.context()
+        out = np.empty((ring.nmoduli, n2), dtype=np.uint64)
+        for cm in range(ring.nmoduli):
+            p = int(ring.moduli[cm])
+            phi = ctx.phi_int[cm]
+            if inverse:
+                out[cm] = _powers_mod(pow(phi, -1, p), n2, p,
+                                      start=int(ctx.invpolyDegree[cm]),
+                                      obj=obj)
+            else:
+                out[cm] = _powers_mod(phi, n2, p, obj=obj)
+        return out
+
+    @functools.cached_property
+    def _plain_fwd(self):
+        return self._with_shoup(self._t_it[0])
+
+    @functools.cached_property
+    def _plain_inv(self):
+        return self._with_shoup(self._t_it[1])
+
+    @functools.cached_property
+    def _twisted_fwd(self):
+        ring = self.plan.ring
+        t = self._t_it[0]
+        sc = self._i2_scale(False)
+        out = np.empty_like(t)
+        for cm in range(ring.nmoduli):
+            out[cm] = _np_mulmod_vec(t[cm], sc[cm][None, :],
+                                     int(ring.moduli[cm]))
+        return self._with_shoup(out)
+
+    @functools.cached_property
+    def _twisted_inv(self):
+        ring = self.plan.ring
+        it = self._t_it[1]
+        sc = self._i2_scale(True)
+        out = np.empty_like(it)
+        for cm in range(ring.nmoduli):
+            out[cm] = _np_mulmod_vec(it[cm], sc[cm][None, :],
+                                     int(ring.moduli[cm]))
+        return self._with_shoup(out)
+
+    @property
+    def twiddle(self):          # w^(k1*i2)
+        return self._plain_fwd[0]
+
+    @property
+    def twiddle_s(self):
+        return self._plain_fwd[1]
+
+    @property
+    def itwiddle(self):         # w^(-k1*i2)
+        return self._plain_inv[0]
+
+    @property
+    def itwiddle_s(self):
+        return self._plain_inv[1]
+
+    @property
+    def twiddle_tw(self):       # * phi^(i2)   (MXU twisted path)
+        return self._twisted_fwd[0]
+
+    @property
+    def twiddle_tw_s(self):
+        return self._twisted_fwd[1]
+
+    @property
+    def itwiddle_tw(self):      # * n^-1 phi^(-i2)
+        return self._twisted_inv[0]
+
+    @property
+    def itwiddle_tw_s(self):
+        return self._twisted_inv[1]
 
     def _stage_slices(self, blocked, size):
         out = []
@@ -236,6 +314,12 @@ class FourStepContext:
 
 @functools.lru_cache(maxsize=None)
 def get_four_step_context(ring: Ring, n1: int, n2: int) -> FourStepContext:
+    if n1 < 2 or n2 < 2 or n1 * n2 != ring.degree:
+        raise ValueError(
+            f"four-step factors must each be >= 2 and multiply to the "
+            f"degree: n1={n1}, n2={n2}, degree={ring.degree} (a degenerate "
+            f"factor means there is nothing to shard — use the single-chip "
+            f"dispatch)")
     return FourStepContext(FourStepPlan(ring, n1, n2))
 
 
@@ -566,15 +650,8 @@ def _resolve_transpose(transpose: str, chunks: int = 1, mesh=None) -> str:
         return transpose
     if chunks > 1:
         return "a2a"
-    platform = None
-    if mesh is not None:
-        try:
-            platform = mesh.devices.flat[0].platform
-        except Exception:
-            platform = None
-    if platform is None:
-        platform = jax.default_backend()
-    return "ppermute" if platform == "tpu" else "a2a"
+    from ..ops.ntt import auto_on_tpu
+    return "ppermute" if auto_on_tpu(mesh) else "a2a"
 
 
 def _resolved_backends(ring: Ring, n1: int, n2: int, mesh: Mesh = None):
@@ -589,14 +666,10 @@ def _resolved_backends(ring: Ring, n1: int, n2: int, mesh: Mesh = None):
     transform targets a CPU mesh, and compiled Mosaic kernels cannot lower
     for CPU devices.  NFL_TPU_NTT=mxu still forces the kernels anywhere
     (interpret mode off-TPU — the tests/dryrun contract)."""
-    if (mesh is not None
-            and os.environ.get("NFL_TPU_NTT", "auto") == "auto"):
-        try:
-            platform = mesh.devices.flat[0].platform
-        except Exception:
-            platform = None
-        if platform is not None and platform != "tpu":
-            return (False, False)
+    from ..ops.ntt import auto_on_tpu, kernel_mode
+    if mesh is not None and kernel_mode() == "auto" \
+            and not auto_on_tpu(mesh):
+        return (False, False)
     return (_dft_backend(ring, n1) is not None,
             _dft_backend(ring, n2) is not None)
 

@@ -269,16 +269,23 @@ class Poly:
 
     def mulmod_shoup(self, other, other_prec):
         other = _as_poly(other)
+        self._check_same_ring(other)
+        self._check_same_ring(other_prec)
         self._strict_check(self, other)
         return self._wrap(_jitted(self.ring, "mul_shoup")(
             self.data, other.data, other_prec.data))
 
     def muladd(self, x, y):
         """self + x*y mod p, fused (reference opt/ops.hpp muladd)."""
+        self._check_same_ring(x)
+        self._check_same_ring(y)
         return self._wrap(_jitted(self.ring, "muladd")(
             self.data, x.data, y.data))
 
     def muladd_shoup(self, x, y, yprec):
+        self._check_same_ring(x)
+        self._check_same_ring(y)
+        self._check_same_ring(yprec)
         return self._wrap(_jitted(self.ring, "muladd_shoup")(
             self.data, x.data, y.data, yprec.data))
 

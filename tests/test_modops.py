@@ -200,3 +200,27 @@ def test_free_functions_and_accessors(rng):
     assert a(1, 3) == int(arr[1, 3])
     assert list(a)[:64] == arr[0].tolist()
     assert nfl.poly_from_modulus is nfl.ring_from_modulus
+
+
+@pytest.mark.parametrize("limb,wbits", [("u16", 16), ("u32", 32)])
+def test_compute_shoup_barrett_boundaries(limb, wbits):
+    """The u16/u32 compute_shoup Barrett path (two multiplies instead of
+    emulated % and //) must be exact for UNREDUCED inputs across the full
+    word range, including every value adjacent to a multiple of p —
+    where floor-division approximations fail first."""
+    import nfllib_tpu as nfl
+    lp = nfl.get_limb_params(limb)
+    dt = np.uint16 if limb == "u16" else np.uint32
+    rng = np.random.default_rng(11)
+    for p_ in [int(v) for v in lp.P[:4]]:
+        ks = np.arange(1, min((1 << wbits) // p_, 4096), dtype=object)
+        near = np.concatenate([ks * p_ - 1, ks * p_, ks * p_ + 1,
+                               rng.integers(0, 1 << wbits, 4096),
+                               np.array([0, 1, (1 << wbits) - 1],
+                                        dtype=object)])
+        near = np.array([v for v in near if 0 <= v < (1 << wbits)],
+                        dtype=np.uint64).astype(dt)
+        got = np.asarray(modops.compute_shoup(
+            jnp.asarray(near), jnp.asarray(np.array(p_, dtype=dt))))
+        want = (((near.astype(object) % p_) << wbits) // p_).astype(dt)
+        np.testing.assert_array_equal(got, want)
