@@ -116,9 +116,19 @@ def main():
     kind = jax.devices()[0].device_kind
     print(f"[bench] {ntts} channel-NTTs (n={n}, m={m}): {per_app*1e6:.1f} us "
           f"per application on {kind}", file=sys.stderr)
-    print(f"[bench] burst rate (chain={burst_chain}, pre-throttle): "
-          f"{ntts/burst/1e6:.3f} M NTT/s vs sustained {rate/1e6:.3f} M",
-          file=sys.stderr)
+    # chain=17 applies only ~16 ms of work — below the ~30 ms adaptive-K
+    # floor (CLAUDE.md round-5 protocol lesson) — so the differenced burst
+    # can land inside RTT-min jitter (even negative).  A longer chain would
+    # throttle and stop being a burst; report the sample only when it is
+    # physically sensible (positive and no faster than 2x sustained).
+    if 0 < burst and per_app / burst <= 2.0:
+        print(f"[bench] burst rate (chain={burst_chain}, pre-throttle): "
+              f"{ntts/burst/1e6:.3f} M NTT/s vs sustained {rate/1e6:.3f} M",
+              file=sys.stderr)
+    else:
+        print(f"[bench] burst sample (chain={burst_chain}) fell inside "
+              f"tunnel jitter ({burst*1e6:.1f} us/app differenced) — "
+              f"not reportable; sustained {rate/1e6:.3f} M", file=sys.stderr)
     print("[bench] note: the >=1M/s baseline target assumes TPU v5p "
           "(2765 GB/s HBM); a v5e chip (819 GB/s) scales that to ~300-400k/s "
           "at the same efficiency", file=sys.stderr)
