@@ -127,3 +127,23 @@ def test_ring_mismatch_raises(ring, rng):
     b = nfl.Poly(rand_residues(other, rng), other)
     with pytest.raises(ValueError):
         a + b
+
+
+def test_ring_mismatch_raises_fused_ops(ring, rng):
+    """The fused operators must guard like the expression operators do —
+    before the guard, mismatched operands silently broadcast and produced
+    wrong residues (round-5 library review)."""
+    other = nfl.ring_from_modulus("u32", 512, 60)
+    a = nfl.Poly(rand_residues(ring, rng), ring)
+    b = nfl.Poly(rand_residues(other, rng), other)
+    bp = b.compute_shoup()
+    sameb = nfl.Poly(rand_residues(ring, rng), ring)
+    samebp = sameb.compute_shoup()
+    with pytest.raises(ValueError):
+        a.mulmod_shoup(b, bp)
+    with pytest.raises(ValueError):
+        a.mulmod_shoup(sameb, bp)       # prec from the wrong ring alone
+    with pytest.raises(ValueError):
+        a.muladd(b, b)
+    with pytest.raises(ValueError):
+        a.muladd_shoup(sameb, b, bp)

@@ -30,6 +30,16 @@ def _mesh(shape, names):
 # four-step math vs the Harvey path (single device)
 # ---------------------------------------------------------------------------
 
+def test_degenerate_four_step_split_raises():
+    """n1/n2 < 2 (or factors that don't multiply to the degree) must raise
+    a clear ValueError, not an obscure np.concatenate crash (round-5
+    library review)."""
+    ring = make_ring(16, 60, "u32")
+    for n1, n2 in ((1, 16), (16, 1), (4, 8)):
+        with pytest.raises(ValueError, match="four-step factors"):
+            ntt_dist.get_four_step_context(ring, n1, n2)
+
+
 @pytest.mark.parametrize("degree,agg,limb,n1", [
     (64, 60, "u32", 8),
     (256, 60, "u32", 16),
