@@ -147,3 +147,61 @@ def test_ring_mismatch_raises_fused_ops(ring, rng):
         a.muladd(b, b)
     with pytest.raises(ValueError):
         a.muladd_shoup(sameb, b, bp)
+
+
+@pytest.mark.parametrize("limb,degree,agg", [
+    ("u16", 128, 14),
+    ("u32", 256, 60),
+    ("u64", 64, 124),
+])
+def test_random_tree_differential_fuzz(limb, degree, agg, rng):
+    """Random expression trees (the reference evaluates arbitrary op chains,
+    ops.hpp:52-97) must match an exact big-int oracle at every tier —
+    including shared subtrees (CSE) and embedded shoup() rewrites."""
+    ring = nfl.ring_from_modulus(limb, degree, agg)
+    moduli = [int(p) for p in ring.moduli]
+
+    def leaf_pool(k):
+        polys = _mk(ring, rng, k)
+        vals = [np.asarray(p.data).astype(object) for p in polys]
+        return polys, vals
+
+    def oracle_op(op, a, b):
+        out = np.empty_like(a)
+        for cm, p in enumerate(moduli):
+            if op == "add":
+                out[cm] = (a[cm] + b[cm]) % p
+            elif op == "sub":
+                out[cm] = (a[cm] - b[cm]) % p
+            else:
+                out[cm] = (a[cm] * b[cm]) % p
+        return out
+
+    pyrng = np.random.default_rng(1234 + degree)
+    for trial in range(6):
+        polys, vals = leaf_pool(4)
+
+        def build(depth):
+            if depth == 0 or pyrng.random() < 0.3:
+                i = int(pyrng.integers(len(polys)))
+                return polys[i], vals[i]
+            op = ("add", "sub", "mul")[int(pyrng.integers(3))]
+            le, lv = build(depth - 1)
+            re_, rv = build(depth - 1)
+            expr = {"add": lambda x, y: x + y,
+                    "sub": lambda x, y: x - y,
+                    "mul": lambda x, y: x * y}[op](le, re_)
+            return expr, oracle_op(op, lv, rv)
+
+        expr, want = build(int(pyrng.integers(2, 5)))
+        if not isinstance(expr, poly_mod.Expr):
+            continue
+        # sometimes wrap a product leaf pair in the shoup rewrite and add it
+        if trial % 2 == 0:
+            b = polys[1]
+            sh = nfl.shoup(polys[0] * b, b.compute_shoup())
+            expr = expr + sh
+            want = oracle_op("add", want,
+                             oracle_op("mul", vals[0], vals[1]))
+        got = np.asarray(expr.poly().data).astype(object)
+        np.testing.assert_array_equal(got, want)
