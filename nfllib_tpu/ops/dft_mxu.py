@@ -43,6 +43,7 @@ the degree-sharded axis the reference never had (SURVEY.md §2 closing note).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -358,6 +359,19 @@ def _kernel_u64(left, size, other, rblk, ndig, bias, strict, twiddle,
             k = a + b
             G[k] = s if G[k] is None else G[k] + s
 
+    tw_refs = ((twh_ref, twl_ref, twsh_ref, twsl_ref) if twiddle else None)
+    out = _pack_combine_u64(G, ndig, bconst, p, smh_ref, sml_ref,
+                            ch_ref, cl_ref, left, rblk, oshape, strict,
+                            tw_refs)
+    oh_ref[...] = out[0].reshape((1, 1) + oshape)
+    ol_ref[...] = out[1].reshape((1, 1) + oshape)
+
+
+def _pack_combine_u64(G, ndig, bconst, p, smh_ref, sml_ref, ch_ref, cl_ref,
+                      left, rblk, oshape, strict, tw_refs):
+    """The u64 VPU epilogue: biased multi-word pack of the int32 group
+    values + Barrett + two-part combine (+ optional twiddle Shoup).
+    Shared by the plain kernel and the software-pipelined kernel."""
     mbar = (smh_ref[0, 0, 1], sml_ref[0, 0, 1])
     chi = (smh_ref[0, 0, 2], sml_ref[0, 0, 2])
     chis = (smh_ref[0, 0, 3], sml_ref[0, 0, 3])
@@ -396,17 +410,99 @@ def _kernel_u64(left, size, other, rblk, ndig, bias, strict, twiddle,
         corr = (ch_ref[0], cl_ref[0])
     # with a twiddle epilogue the combine may stay lazy (< 2p): the
     # Shoup multiplier accepts any 64-bit multiplicand
+    twiddle = tw_refs is not None
     out = _combine_parts_u64(rs[0], rs[1], chi, chis, corr, p,
                              strict and not twiddle)
     if twiddle:
+        twh_ref, twl_ref, twsh_ref, twsl_ref = tw_refs
         tw = (twh_ref[...].reshape(oshape), twl_ref[...].reshape(oshape))
         tws = (twsh_ref[...].reshape(oshape),
                twsl_ref[...].reshape(oshape))
         out = p_shoup_lazy(out, tw, tws, p)              # < 2p
         if strict:
             out = p_select(p_ge(out, p), p_sub(out, p), out)
-    oh_ref[...] = out[0].reshape((1, 1) + oshape)
-    ol_ref[...] = out[1].reshape((1, 1) + oshape)
+    return out
+
+
+def _kernel_u64_pipe(left, size, other, rblk, ndig, bias, strict, twiddle,
+                     dig_cache, nrb, nsteps,
+                     xh_ref, xl_ref, w_ref, ch_ref, cl_ref, smh_ref, sml_ref,
+                     *rest):
+    """Software-pipelined u64 kernel over a FLATTENED 1-D grid: step t runs
+    block t's MXU dot set (into ping-pong int32 group scratch) AND block
+    t-1's VPU epilogue (pack/Barrett/combine from the other scratch slot),
+    so Mosaic can overlap the epilogue's vector work with the next block's
+    matmuls.  One extra drain step packs the final block.  Input index maps
+    follow block t (clamped on the drain step); output/corr/twiddle/const
+    maps follow block t-1 (clamped on the fill step, where the epilogue is
+    skipped and steps 0 and 1 revisit the same output window)."""
+    if twiddle:
+        (twh_ref, twl_ref, twsh_ref, twsl_ref,
+         oh_ref, ol_ref, dig_ref, g0_ref, g1_ref) = rest
+        tw_refs = (twh_ref, twl_ref, twsh_ref, twsl_ref)
+    else:
+        oh_ref, ol_ref, dig_ref, g0_ref, g1_ref = rest
+        tw_refs = None
+    t = pl.program_id(0)
+    ngrp = 2 * ndig - 1
+    shape = (size, other) if left else (other, size)
+    oshape = (rblk, other) if left else (other, rblk)
+    bconst = jnp.int32(bias)
+    even = (t % jnp.int32(2)) == 0
+
+    @pl.when(t < jnp.int32(nsteps - 1))
+    def _dots():
+        if dig_cache:
+            @pl.when((t % jnp.int32(nrb)) == 0)
+            def _():
+                x = (xh_ref[...].reshape(shape), xl_ref[...].reshape(shape))
+                for b, d in enumerate(_digitize_offset_u64(x, ndig)):
+                    dig_ref[b] = d
+            xd = [dig_ref[b] for b in range(ndig)]
+        else:
+            x = (xh_ref[...].reshape(shape), xl_ref[...].reshape(shape))
+            xd = _digitize_offset_u64(x, ndig)
+        G = [None] * ngrp
+        for a in range(ndig):
+            for b in range(ndig):
+                if left:
+                    s = jax.lax.dot_general(
+                        w_ref[0, a], xd[b], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                else:
+                    s = jax.lax.dot_general(
+                        xd[b], w_ref[0, a], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                k = a + b
+                G[k] = s if G[k] is None else G[k] + s
+
+        @pl.when(even)
+        def _():
+            for k in range(ngrp):
+                g0_ref[k] = G[k]
+
+        @pl.when(jnp.logical_not(even))
+        def _():
+            for k in range(ngrp):
+                g1_ref[k] = G[k]
+
+    def _epi(g_ref):
+        p = (smh_ref[0, 0, 0], sml_ref[0, 0, 0])
+        G = [g_ref[k] for k in range(ngrp)]
+        out = _pack_combine_u64(G, ndig, bconst, p, smh_ref, sml_ref,
+                                ch_ref, cl_ref, left, rblk, oshape, strict,
+                                tw_refs)
+        oh_ref[...] = out[0].reshape((1, 1) + oshape)
+        ol_ref[...] = out[1].reshape((1, 1) + oshape)
+
+    # block t-1 was written to slot (t-1) % 2: g1 when t is even, g0 when odd
+    @pl.when(jnp.logical_and(t > jnp.int32(0), jnp.logical_not(even)))
+    def _():
+        _epi(g0_ref)
+
+    @pl.when(jnp.logical_and(t > jnp.int32(0), even))
+    def _():
+        _epi(g1_ref)
 
 
 def _other_block_grid(limb, size, other):
@@ -432,6 +528,17 @@ def _row_block(size, oblk):
         return size, 1
     rblk = size
     while rblk > 256 and 14 * 4 * rblk * oblk > (2 << 20):
+        rblk //= 2
+    return rblk, size // rblk
+
+
+def _row_block_pipe(size, oblk):
+    """Row blocking for the software-pipelined kernel: the two ping-pong
+    group-scratch sets (2 * (2*ndig-1) int32 [rblk, oblk] arrays) join the
+    live working set, so the row block shrinks until both sets + the dot
+    temporaries fit the scoped VMEM budget."""
+    rblk = size
+    while rblk > 256 and (14 + 30) * 4 * rblk * oblk > (6 << 20):
         rblk //= 2
     return rblk, size // rblk
 
@@ -588,13 +695,139 @@ def _build_u64(ring, size, provider, left, other, interpret, strict=True,
     return call
 
 
+@functools.lru_cache(maxsize=None)
+def _build_u64_pipe(ring, size, provider, left, other, interpret,
+                    strict=True, twiddle=False, dig_cache=True):
+    """Software-pipelined u64 builder: flattened 1-D grid of
+    m*B*nob*nrb + 1 steps; step t's index maps serve block t's inputs AND
+    block t-1's output/epilogue operands (see _kernel_u64_pipe)."""
+    planes, corr, consts, bias, ndig = _custom_tables(ring, provider, size,
+                                                      left)
+    m = ring.nmoduli
+    sm = np.zeros((m, 1, 4), dtype=object)
+    for cm in range(m):
+        p = int(ring.moduli[cm])
+        sm[cm, 0, 0] = p
+        sm[cm, 0, 1] = (1 << 124) // p
+        chi = pow(2, 8 * ndig, p)
+        sm[cm, 0, 2] = chi
+        sm[cm, 0, 3] = (chi << 64) // p
+    smh, sml = _split(sm)
+    ch, cl = _split(corr.reshape(m, 1, size).astype(object))
+    oblk, nob = _other_block_grid(ring.limb, size, other)
+    rblk, nrb = _row_block_pipe(size, oblk)
+    ngrp = 2 * ndig - 1
+    if left:
+        xshape = (1, 1, size, oblk)
+        oshape = (1, 1, rblk, oblk)
+        wshape = (1, ndig, rblk, size)
+        digshape = (ndig, size, oblk)
+        gshape = (ngrp, rblk, oblk)
+    else:
+        xshape = (1, 1, oblk, size)
+        oshape = (1, 1, oblk, rblk)
+        wshape = (1, ndig, size, rblk)
+        digshape = (ndig, oblk, size)
+        gshape = (ngrp, oblk, rblk)
+    twshape = (1, rblk, oblk) if left else (1, oblk, rblk)
+
+    def call(xbh, xbl, *tw4):
+        B = xbh.shape[0]
+        nsteps = m * B * nob * nrb + 1
+
+        def _decomp(t):
+            rb = t % np.int32(nrb)
+            t2 = t // np.int32(nrb)
+            ob = t2 % np.int32(nob)
+            t3 = t2 // np.int32(nob)
+            b = t3 % np.int32(B)
+            c = t3 // np.int32(B)
+            return c, b, ob, rb
+
+        def _dside(t):      # block t, clamped on the drain step
+            return _decomp(jnp.minimum(t, np.int32(nsteps - 2)))
+
+        def _eside(t):      # block t-1, clamped on the fill step
+            return _decomp(jnp.maximum(t - np.int32(1), np.int32(0)))
+
+        if left:
+            def xmap(t):
+                c, b, ob, rb = _dside(t)
+                return (b, c, _I0, ob)
+
+            def wmap(t):
+                c, b, ob, rb = _dside(t)
+                return (c, _I0, rb, _I0)
+
+            def omap(t):
+                c, b, ob, rb = _eside(t)
+                return (b, c, rb, ob)
+
+            def twmap(t):
+                c, b, ob, rb = _eside(t)
+                return (c, rb, ob)
+        else:
+            def xmap(t):
+                c, b, ob, rb = _dside(t)
+                return (b, c, ob, _I0)
+
+            def wmap(t):
+                c, b, ob, rb = _dside(t)
+                return (c, _I0, _I0, rb)
+
+            def omap(t):
+                c, b, ob, rb = _eside(t)
+                return (b, c, ob, rb)
+
+            def twmap(t):
+                c, b, ob, rb = _eside(t)
+                return (c, ob, rb)
+
+        def cmap(t):
+            c, b, ob, rb = _eside(t)
+            return (c, _I0, rb)
+
+        def smap(t):
+            c, b, ob, rb = _eside(t)
+            return (c, _I0, _I0)
+
+        out_sd = jax.ShapeDtypeStruct(xbh.shape, jnp.uint32)
+        spec_x = pl.BlockSpec(xshape, xmap, memory_space=pltpu.VMEM)
+        spec_o = pl.BlockSpec(oshape, omap, memory_space=pltpu.VMEM)
+        spec_tw = pl.BlockSpec(twshape, twmap, memory_space=pltpu.VMEM)
+        assert len(tw4) == (4 if twiddle else 0)
+        return pl.pallas_call(
+            functools.partial(_kernel_u64_pipe, left, size, oblk, rblk,
+                              ndig, bias, strict, twiddle, dig_cache, nrb,
+                              nsteps),
+            grid=(nsteps,),
+            in_specs=[
+                spec_x, spec_x,
+                pl.BlockSpec(wshape, wmap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, rblk), cmap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, rblk), cmap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 4), smap, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 4), smap, memory_space=pltpu.SMEM),
+            ] + [spec_tw] * len(tw4),
+            out_specs=[spec_o, spec_o],
+            out_shape=[out_sd, out_sd],
+            scratch_shapes=[pltpu.VMEM(digshape, jnp.int8),
+                            pltpu.VMEM(gshape, jnp.int32),
+                            pltpu.VMEM(gshape, jnp.int32)],
+            interpret=interpret,
+        )(xbh, xbl, jnp.asarray(planes), jnp.asarray(ch), jnp.asarray(cl),
+          jnp.asarray(smh), jnp.asarray(sml), *tw4)
+
+    return call
+
+
 # ---------------------------------------------------------------------------
 # public entry points (batched over leading dims, channel-major grid)
 # ---------------------------------------------------------------------------
 
 def matmul_mod(x, ring, provider: str, size: int, *, axis: int,
                interpret=None, twiddle=None, dig_cache=True,
-               pair_out=False):
+               pair_out=False, pipelined=None):
     """Square mod-matmul by the provider's per-channel [size, size] matrix
     along `axis` (-2: left, M @ X contracting the sublane axis; -1: right,
     X @ M) of [..., m, r, c] residue tensors.  Fused int8 MXU kernel,
@@ -611,9 +844,16 @@ def matmul_mod(x, ring, provider: str, size: int, *, axis: int,
     hi/lo planes; passing x as an (xh, xl) tuple and/or pair_out=True
     skips the u64 merge/split passes at this op's edges, so chained u64
     ops (matmul -> pair bridge -> matmul, ops/pair_bridge.py) never
-    materialize the emulated-u64 value between them."""
+    materialize the emulated-u64 value between them.
+
+    pipelined (u64 only; default NFL_TPU_DFT_PIPE env, off): the
+    software-pipelined kernel variant — block t's MXU dots overlap block
+    t-1's VPU pack/combine epilogue over a flattened grid
+    (_kernel_u64_pipe).  Bit-identical output; an A/B perf experiment."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if pipelined is None:
+        pipelined = os.environ.get("NFL_TPU_DFT_PIPE", "0") == "1"
     assert axis in (-1, -2)
     left = axis == -2
     m = ring.nmoduli
@@ -633,9 +873,10 @@ def matmul_mod(x, ring, provider: str, size: int, *, axis: int,
             xb = xs.reshape((-1, m, r, c))
             xbh = (xb >> jnp.uint64(32)).astype(jnp.uint32)
             xbl = xb.astype(jnp.uint32)
-        call = _build_u64(ring, size, provider, left, other,
-                          bool(interpret), twiddle=twiddle is not None,
-                          dig_cache=dig_cache)
+        builder = _build_u64_pipe if pipelined else _build_u64
+        call = builder(ring, size, provider, left, other,
+                       bool(interpret), twiddle=twiddle is not None,
+                       dig_cache=dig_cache)
         tw4 = ()
         if twiddle is not None:
             tw, tws = (jnp.asarray(t) for t in twiddle)

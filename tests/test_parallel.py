@@ -325,6 +325,42 @@ def test_dft_mxu_twiddle_epilogue(limb, agg, axis, rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("axis", [-2, -1])
+@pytest.mark.parametrize("twiddle", [False, True])
+def test_dft_mxu_pipelined_matches_plain(axis, twiddle, rng):
+    """The software-pipelined u64 kernel (block t's dots + block t-1's
+    epilogue over a flattened grid, _kernel_u64_pipe) is bit-identical to
+    the plain kernel.  Perf capability kept after rejection: paired A/B on
+    chip measured it 1.21-1.43x SLOWER (DFT_PIPE_AB.json) — Mosaic does
+    not overlap the previous block's VPU epilogue with the next block's
+    MXU dots, and the ping-pong scratch round-trip only costs."""
+    from nfllib_tpu.ops import dft_mxu
+    from nfllib_tpu.ring import _np_shoup_vec
+
+    ring = make_ring(256, 124, "u64")
+    size, B = 16, 2
+    m = ring.nmoduli
+    x = np.stack([rand_residues(ring, rng).reshape(m, size, size)
+                  for _ in range(B)])
+    kw = {}
+    if twiddle:
+        tw = np.empty((m, size, size), dtype=ring.dtype)
+        tws = np.empty((m, size, size), dtype=ring.dtype)
+        for cm in range(m):
+            p = int(ring.moduli[cm])
+            t = rng.integers(0, p, size=(size, size)).astype(np.uint64)
+            tw[cm] = t
+            tws[cm] = _np_shoup_vec(t.reshape(-1), p, 64).reshape(size, size)
+        kw["twiddle"] = (tw, tws)
+    want = np.asarray(dft_mxu.matmul_mod(x, ring, "dft_fwd", size,
+                                         axis=axis, interpret=True,
+                                         pipelined=False, **kw))
+    got = np.asarray(dft_mxu.matmul_mod(x, ring, "dft_fwd", size,
+                                        axis=axis, interpret=True,
+                                        pipelined=True, **kw))
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("degree,agg,limb,ndev", [
     (1024, 60, "u32", 4),
     (256, 124, "u64", 2),
