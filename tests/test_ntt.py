@@ -99,3 +99,27 @@ def test_degree_2_special_case(rng):
     fwd = ntt_mod.ntt_pow_phi(jnp.asarray(x), ctx)
     back = np.asarray(ntt_mod.invntt_pow_invphi(fwd, ctx))
     np.testing.assert_array_equal(back, x)
+
+
+def test_random_config_property_fuzz(rng):
+    """Randomized ring configs beyond the fixed reference matrix: roundtrip,
+    NTT linearity, and the convolution theorem vs the schoolbook oracle at
+    random (limb, degree, channel-count) draws."""
+    pyrng = np.random.default_rng(99)
+    for trial in range(6):
+        limb = ("u16", "u32", "u64")[trial % 3]
+        degree = int(pyrng.choice([8, 16, 32, 64, 128, 256]))
+        per = {"u16": 14, "u32": 30, "u64": 62}[limb]
+        m = int(pyrng.integers(1, {"u16": 2, "u32": 4, "u64": 3}[limb] + 1))
+        ring = nfl.ring_from_modulus(limb, degree, per * m)
+        a = nfl.Poly(jnp.asarray(rand_residues(ring, rng)), ring)
+        b = nfl.Poly(jnp.asarray(rand_residues(ring, rng)), ring)
+        an, bn = a.ntt_pow_phi(), b.ntt_pow_phi()
+        assert an.invntt_pow_invphi() == a          # roundtrip
+        lhs = (a + b).poly().ntt_pow_phi()          # linearity
+        assert lhs == (an + bn).poly()
+        prod = an.mulmod(bn).invntt_pow_invphi()    # convolution theorem
+        want = oracle.negacyclic_mul_schoolbook(
+            np.asarray(a.data), np.asarray(b.data), ring)
+        np.testing.assert_array_equal(
+            np.asarray(prod.data).astype(object), want)
