@@ -613,14 +613,11 @@ def _build_u32(ring, size, provider, left, other, interpret, strict=True,
     return call
 
 
-@functools.lru_cache(maxsize=None)
-def _build_u64(ring, size, provider, left, other, interpret, strict=True,
-               twiddle=False, dig_cache=True):
-    planes, corr, consts, bias, ndig = _custom_tables(ring, provider, size,
-                                                      left)
+def _u64_const_tables(ring, corr, size, ndig):
+    """SMEM pair-const rows [p, mbar, chi, chi_shoup] + the split correction
+    vectors — shared by the plain and pipelined u64 builders so the Barrett
+    width / SMEM layout cannot drift between them."""
     m = ring.nmoduli
-    ctx = ring.context()
-    # SMEM pair consts rows: [p, mbar, chi, chi_shoup]
     sm = np.zeros((m, 1, 4), dtype=object)
     for cm in range(m):
         p = int(ring.moduli[cm])
@@ -631,31 +628,43 @@ def _build_u64(ring, size, provider, left, other, interpret, strict=True,
         sm[cm, 0, 3] = (chi << 64) // p
     smh, sml = _split(sm)
     ch, cl = _split(corr.reshape(m, 1, size).astype(object))
+    return smh, sml, ch, cl
+
+
+def _u64_block_shapes(left, size, oblk, rblk, ndig):
+    """(xshape, oshape, wshape, digshape, gshape, twshape) for the u64
+    kernels' BlockSpecs, shared by both builders."""
+    ngrp = 2 * ndig - 1
+    if left:
+        return ((1, 1, size, oblk), (1, 1, rblk, oblk),
+                (1, ndig, rblk, size), (ndig, size, oblk),
+                (ngrp, rblk, oblk), (1, rblk, oblk))
+    return ((1, 1, oblk, size), (1, 1, oblk, rblk),
+            (1, ndig, size, rblk), (ndig, oblk, size),
+            (ngrp, oblk, rblk), (1, oblk, rblk))
+
+
+@functools.lru_cache(maxsize=None)
+def _build_u64(ring, size, provider, left, other, interpret, strict=True,
+               twiddle=False, dig_cache=True):
+    planes, corr, _, bias, ndig = _custom_tables(ring, provider, size,
+                                                 left)
+    m = ring.nmoduli
+    smh, sml, ch, cl = _u64_const_tables(ring, corr, size, ndig)
     oblk, nob = _other_block_grid(ring.limb, size, other)
     rblk, nrb = _row_block(size, oblk)
+    xshape, oshape, wshape, digshape, _, twshape = _u64_block_shapes(
+        left, size, oblk, rblk, ndig)
     if left:
-        xshape = (1, 1, size, oblk)
         xmap = lambda c, b, ob, rb: (b, c, _I0, ob)
-        oshape = (1, 1, rblk, oblk)
         omap = lambda c, b, ob, rb: (b, c, rb, ob)
-        wshape = (1, ndig, rblk, size)
         wmap = lambda c, b, ob, rb: (c, _I0, rb, _I0)
-        digshape = (ndig, size, oblk)
-    else:
-        xshape = (1, 1, oblk, size)
-        xmap = lambda c, b, ob, rb: (b, c, ob, _I0)
-        oshape = (1, 1, oblk, rblk)
-        omap = lambda c, b, ob, rb: (b, c, ob, rb)
-        wshape = (1, ndig, size, rblk)
-        wmap = lambda c, b, ob, rb: (c, _I0, _I0, rb)
-        digshape = (ndig, oblk, size)
-
-    # twiddle epilogue blocks mirror the OUTPUT block's [m, r, c] indexing
-    if left:
-        twshape = (1, rblk, oblk)
+        # twiddle blocks mirror the OUTPUT block's [m, r, c] indexing
         twmap = lambda c, b, ob, rb: (c, rb, ob)
     else:
-        twshape = (1, oblk, rblk)
+        xmap = lambda c, b, ob, rb: (b, c, ob, _I0)
+        omap = lambda c, b, ob, rb: (b, c, ob, rb)
+        wmap = lambda c, b, ob, rb: (c, _I0, _I0, rb)
         twmap = lambda c, b, ob, rb: (c, ob, rb)
 
     def call(xbh, xbl, *tw4):
@@ -701,35 +710,14 @@ def _build_u64_pipe(ring, size, provider, left, other, interpret,
     """Software-pipelined u64 builder: flattened 1-D grid of
     m*B*nob*nrb + 1 steps; step t's index maps serve block t's inputs AND
     block t-1's output/epilogue operands (see _kernel_u64_pipe)."""
-    planes, corr, consts, bias, ndig = _custom_tables(ring, provider, size,
-                                                      left)
+    planes, corr, _, bias, ndig = _custom_tables(ring, provider, size,
+                                                 left)
     m = ring.nmoduli
-    sm = np.zeros((m, 1, 4), dtype=object)
-    for cm in range(m):
-        p = int(ring.moduli[cm])
-        sm[cm, 0, 0] = p
-        sm[cm, 0, 1] = (1 << 124) // p
-        chi = pow(2, 8 * ndig, p)
-        sm[cm, 0, 2] = chi
-        sm[cm, 0, 3] = (chi << 64) // p
-    smh, sml = _split(sm)
-    ch, cl = _split(corr.reshape(m, 1, size).astype(object))
+    smh, sml, ch, cl = _u64_const_tables(ring, corr, size, ndig)
     oblk, nob = _other_block_grid(ring.limb, size, other)
     rblk, nrb = _row_block_pipe(size, oblk)
-    ngrp = 2 * ndig - 1
-    if left:
-        xshape = (1, 1, size, oblk)
-        oshape = (1, 1, rblk, oblk)
-        wshape = (1, ndig, rblk, size)
-        digshape = (ndig, size, oblk)
-        gshape = (ngrp, rblk, oblk)
-    else:
-        xshape = (1, 1, oblk, size)
-        oshape = (1, 1, oblk, rblk)
-        wshape = (1, ndig, size, rblk)
-        digshape = (ndig, oblk, size)
-        gshape = (ngrp, oblk, rblk)
-    twshape = (1, rblk, oblk) if left else (1, oblk, rblk)
+    xshape, oshape, wshape, digshape, gshape, twshape = _u64_block_shapes(
+        left, size, oblk, rblk, ndig)
 
     def call(xbh, xbl, *tw4):
         B = xbh.shape[0]
@@ -853,7 +841,12 @@ def matmul_mod(x, ring, provider: str, size: int, *, axis: int,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if pipelined is None:
-        pipelined = os.environ.get("NFL_TPU_DFT_PIPE", "0") == "1"
+        # env default applies only where the variant exists (u64)
+        pipelined = (ring.limb == "u64"
+                     and os.environ.get("NFL_TPU_DFT_PIPE", "0") == "1")
+    else:
+        assert not pipelined or ring.limb == "u64", \
+            "pipelined is a u64-tier feature"
     assert axis in (-1, -2)
     left = axis == -2
     m = ring.nmoduli

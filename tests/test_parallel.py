@@ -361,6 +361,32 @@ def test_dft_mxu_pipelined_matches_plain(axis, twiddle, rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
+def test_dft_mxu_pipelined_block_transitions(rng):
+    """The pipelined kernel at a geometry with REAL block structure
+    (size=512: nob=4, nrb=2 under _row_block_pipe) — covers the flattened
+    _dside/_eside decomposition across ob/rb boundaries, the fill/drain
+    clamps, and the dig-cache invalidation at each new ob, which the
+    size-16 case (nob=nrb=1) cannot reach."""
+    from nfllib_tpu.ops import dft_mxu
+
+    ring = nfl.ring_from_modulus("u64", 512, 124)
+    m = ring.nmoduli
+    x = np.empty((1, m, 512, 512), dtype=np.uint64)
+    for cm in range(m):
+        x[:, cm] = rng.integers(0, int(ring.moduli[cm]), (1, 512, 512),
+                                dtype=np.uint64)
+    from nfllib_tpu.ops.dft_mxu import _other_block_grid, _row_block_pipe
+    oblk, nob = _other_block_grid("u64", 512, 512)
+    rblk, nrb = _row_block_pipe(512, oblk)
+    assert nob > 1 and nrb > 1, (nob, nrb)   # the geometry under test
+    want = np.asarray(dft_mxu.matmul_mod(x, ring, "dft_fwd", 512, axis=-2,
+                                         interpret=True, pipelined=False))
+    got = np.asarray(dft_mxu.matmul_mod(x, ring, "dft_fwd", 512, axis=-2,
+                                        interpret=True, pipelined=True))
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("degree,agg,limb,ndev", [
     (1024, 60, "u32", 4),
     (256, 124, "u64", 2),

@@ -30,7 +30,10 @@ from check_onchip import _paired_chain_times  # noqa: E402
 def main():
     rounds = 8
     if "--rounds" in sys.argv:
-        rounds = int(sys.argv[sys.argv.index("--rounds") + 1])
+        i = sys.argv.index("--rounds") + 1
+        if i >= len(sys.argv):
+            sys.exit("usage: probe_dft_pipe.py [--rounds N]")
+        rounds = int(sys.argv[i])
     import jax
     assert jax.default_backend() == "tpu", "paired probe targets the chip"
 
@@ -64,19 +67,24 @@ def main():
 
         per_round = _paired_chain_times(
             [("plain", plain, x, 1), ("pipe", pipe, x, 1)], rounds=rounds)
-        med = {k: float(np.nanmedian(v) * 1e6)
-               for k, v in per_round.items()}
+
+        def us(v):      # None (strict JSON) instead of NaN on all-jitter
+            r = float(np.nanmedian(v) * 1e6) if np.isfinite(
+                np.nanmedian(v)) else None
+            return None if r is None else round(r, 2)
+
+        med = {k: us(v) for k, v in per_round.items()}
         ratios = [p / q for p, q in zip(per_round["pipe"],
                                         per_round["plain"])
                   if np.isfinite(p) and np.isfinite(q)]
-        ratio = float(np.median(ratios))
-        print(f"size={size}: plain {med['plain']:.1f} us, "
-              f"pipe {med['pipe']:.1f} us, paired pipe/plain {ratio:.3f}",
+        ratio = round(float(np.median(ratios)), 4) if ratios else None
+        print(f"size={size}: plain {med['plain']} us, "
+              f"pipe {med['pipe']} us, paired pipe/plain {ratio}",
               flush=True)
         out["cases"][f"u64_size{size}"] = {
-            "plain_us": round(med["plain"], 2),
-            "pipe_us": round(med["pipe"], 2),
-            "paired_ratio_pipe_over_plain": round(ratio, 4),
+            "plain_us": med["plain"],
+            "pipe_us": med["pipe"],
+            "paired_ratio_pipe_over_plain": ratio,
             "compiled_bit_exact": exact,
             "rounds": rounds,
         }
