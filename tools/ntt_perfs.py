@@ -3,13 +3,18 @@
 original) re-created as a backend shootout: jnp stage loop vs the Pallas
 butterfly kernel vs the MXU matmul path, all verified bit-identical first.
 
+Timing uses the round-5 paired adaptive-K protocol (check_onchip
+_paired_chain_times): all backends measured interleaved per round so
+regime drift cancels, chain length sized so the differenced quantity
+clears the tunnel-jitter floor.
+
 Usage: python tools/ntt_perfs.py [--n N] [--m M] [--batch B]
 """
 from __future__ import annotations
 
 import argparse
+import pathlib
 import sys
-import time
 
 import numpy as np
 
@@ -25,22 +30,6 @@ from nfllib_tpu.ops import ntt_pallas_u64  # noqa: E402
 from nfllib_tpu.utils import static_log2  # noqa: E402
 
 
-def chain_time(fn, xd, K=33, reps=8):
-    def f(v, k):
-        return jax.lax.fori_loop(0, k, lambda i, vv: fn(vv), v)
-    jf = jax.jit(f)
-    _ = np.asarray(jf(xd, 1)[(0,) * xd.ndim])
-
-    def run(k):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            o = jf(xd, k)
-            _ = np.asarray(o[(0,) * xd.ndim])
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    return (run(K + 1) - run(1)) / K
 
 
 def main():
@@ -90,8 +79,12 @@ def main():
         status = "OK" if np.array_equal(base, got) else "MISMATCH"
         print(f"{name:18s} exactness: {status}")
 
-    for name, fn in backends.items():
-        t = chain_time(fn, xd)
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+    from check_onchip import _paired_chain_times
+    per_round = _paired_chain_times(
+        [(name, fn, x, 1) for name, fn in backends.items()], rounds=6)
+    for name in backends:
+        t = float(np.nanmedian(per_round[name]))
         print(f"{name:18s} {t*1e6:9.1f} us/app   "
               f"{units/t:12,.0f} channel-NTT/s")
 
