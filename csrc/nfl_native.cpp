@@ -271,7 +271,7 @@ void nfl_gaussian_noise(
   };
 
   nfl_fastrandombytes(state40, noise, buf_bytes);
-  uint64_t pos = 0, used = 0, computed = 0;
+  uint64_t pos = 0, computed = 0;
 
   auto cmp_barrier = [&](int32_t b_idx, uint64_t at) -> int {
     const uint16_t *bw = barrier_words + (uint64_t)b_idx * wp;
@@ -295,7 +295,6 @@ void nfl_gaussian_noise(
           ++output;
         }
         pos += wp - 1;
-        used += wp - 1;
       } else {
         uint64_t w1 = word_at(pos + 1);
         int32_t f = lu1_map[w0];
@@ -310,23 +309,21 @@ void nfl_gaussian_noise(
             ++output;
           }
           pos += wp - 2;
-          used += wp - 2;
         } else {
           output = v2[w1];
         }
         pos += 1;
-        used += 1;
       }
     } else {
       output = lu_val[w0];
     }
     pos += 1;
-    used += 1;
     out[computed++] = output;
-    if (used + wp >= innoise_words) {
+    // pos counts consumed words since the last refill; keep the next
+    // full-precision read (word_at(pos + wp - 1)) inside the buffer
+    if (pos + wp >= innoise_words) {
       nfl_fastrandombytes(state40, noise, buf_bytes);
       pos = 0;
-      used = 0;
     }
   }
   delete[] noise;

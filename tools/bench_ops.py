@@ -88,8 +88,12 @@ def _time_device(fn_one, x, reps=5, chain=64, target_diff_s=0.03,
         # an RTT spike during the estimate can under-size K; if the
         # measured difference still sits inside the jitter floor, grow K
         # and re-measure rather than record noise
-        if tk - t1 >= target_diff_s / 3 or K >= max_chain:
-            return max(tk - t1, 1e-12) / (K - 1) * 1e6
+        if tk - t1 >= target_diff_s / 3:
+            return (tk - t1) / (K - 1) * 1e6
+        if K >= max_chain:
+            # even max_chain applications stay inside the jitter floor —
+            # return None (rendered n/a) instead of recording noise
+            return None
         K = int(min(K * 8, max_chain))
 
 
@@ -119,8 +123,9 @@ def bench_config(degree, agg, limb, csv=False):
 
     def rec(name, us):
         # per-poly figure (batch-normalized), matching the reference's
-        # single-poly loop numbers
-        rows.append((name, us / BATCH))
+        # single-poly loop numbers; None = below the jitter floor even at
+        # max_chain (recorded as n/a, never as a noise-scale number)
+        rows.append((name, None if us is None else us / BATCH))
 
     # elementwise ops are sub-microsecond per batch: use long chains so the
     # measured delta dwarfs the tunnel jitter
@@ -176,9 +181,11 @@ def bench_config(degree, agg, limb, csv=False):
     print(hdr)
     for name, us in rows:
         if csv:
-            print(f"{degree},{agg},{limb},{name},{us:.3f}")
+            val = "n/a" if us is None else f"{us:.3f}"
+            print(f"{degree},{agg},{limb},{name},{val}")
         else:
-            print(f"  {name:26s} {us:12.3f} us/poly")
+            val = "         n/a" if us is None else f"{us:12.3f}"
+            print(f"  {name:26s} {val} us/poly")
 
 
 def main():

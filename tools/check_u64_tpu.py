@@ -1,8 +1,13 @@
 """One-off: verify the u64 Pallas kernel compiles + is bit-exact on the real
 TPU, and time it against the jnp (XLA-emulated u64) path.
 
+Timing uses the round-5 paired adaptive-K protocol (check_onchip
+_paired_chain_times) — both backends interleaved per round, chain length
+sized so the differenced quantity clears the tunnel-jitter floor.
+
 Run from the repo root: python tools/check_u64_tpu.py [degrees...]
 """
+import pathlib
 import sys
 import time
 
@@ -13,6 +18,9 @@ import jax  # noqa: E402
 import nfllib_tpu as nfl  # noqa: E402
 from nfllib_tpu.ops import ntt as ntt_jnp  # noqa: E402
 from nfllib_tpu.ops import ntt_pallas_u64  # noqa: E402
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+from check_onchip import _paired_chain_times  # noqa: E402
 
 print("backend:", jax.default_backend(), jax.devices())
 rng = np.random.default_rng(7)
@@ -35,55 +43,30 @@ for n in degrees:
     ok_r = np.array_equal(back, x)
     print(f"n={n:6d} m={m} fwd_exact={ok_f} roundtrip={ok_r} "
           f"first_call={t_compile:.1f}s")
+    if not (ok_f and ok_r):
+        sys.exit(f"BIT-EXACTNESS FAILURE at n={n}")
 
-    # timing: chained fori_loop, chain-differencing per CLAUDE.md
-    import jax.numpy as jnp
-    from functools import partial
-
-    @partial(jax.jit, static_argnums=())
-    def chain(xb, k):
-        def step(_, v):
-            return ntt_pallas_u64.ntt_fwd(v, ctx, interpret=False)
-        return jax.lax.fori_loop(0, k, step, xb)
-
-    xj = jnp.asarray(x)
-
-    def t_of(k, reps=3):
-        best = 1e9
-        for _ in range(reps):
-            t0 = time.time()
-            out = chain(xj, k)
-            np.asarray(out[0, 0:1])
-            best = min(best, time.time() - t0)
-        return best
-
-    chain(xj, 1)
-    chain(xj, 33)
-    dt = (t_of(33) - t_of(1)) / 32
-    per_chan = dt / m
-    print(f"         pallas: {dt*1e6:8.1f} us/poly-NTT  "
-          f"{per_chan*1e6:6.1f} us/chan  {1/per_chan:,.0f} chan-NTT/s")
-
-    @jax.jit
-    def chain_jnp(xb, k):
-        def step(_, v):
-            return ntt_jnp.ntt_pow_phi(v, ctx)
-        return jax.lax.fori_loop(0, k, step, xb)
-
+    # pin the dispatching entry to the jnp stage loop for the B case (the
+    # env is read at jit-build time inside _paired_chain_times' prep); the
+    # A case calls the Pallas kernel module directly and ignores it
     import os
     os.environ["NFL_TPU_NTT"] = "jnp"
     try:
-        def tj(k, reps=3):
-            best = 1e9
-            for _ in range(reps):
-                t0 = time.time()
-                out = chain_jnp(xj, k)
-                np.asarray(out[0, 0:1])
-                best = min(best, time.time() - t0)
-            return best
-        chain_jnp(xj, 1); chain_jnp(xj, 33)
-        dtj = (tj(33) - tj(1)) / 32
-        print(f"         jnp:    {dtj*1e6:8.1f} us/poly-NTT  "
-              f"speedup {dtj/dt:.1f}x")
+        per_round = _paired_chain_times([
+            ("pallas", lambda v: ntt_pallas_u64.ntt_fwd(
+                v, ctx, interpret=False), x, 1),
+            ("jnp", lambda v: ntt_jnp.ntt_pow_phi(v, ctx), x, 1),
+        ], rounds=6)
     finally:
         del os.environ["NFL_TPU_NTT"]
+    dt = float(np.nanmedian(per_round["pallas"]))
+    dtj = float(np.nanmedian(per_round["jnp"]))
+    if np.isfinite(dt):
+        print(f"         pallas: {dt*1e6:8.1f} us/poly-NTT  "
+              f"{dt/m*1e6:6.1f} us/chan  {m/dt:,.0f} chan-NTT/s")
+    if np.isfinite(dt) and np.isfinite(dtj):
+        ratios = [a / b for a, b in zip(per_round["jnp"],
+                                        per_round["pallas"])
+                  if np.isfinite(a) and np.isfinite(b)]
+        print(f"         jnp:    {dtj*1e6:8.1f} us/poly-NTT  "
+              f"paired speedup {float(np.median(ratios)):.1f}x")

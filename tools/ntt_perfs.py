@@ -72,12 +72,19 @@ def main():
             backends["mxu-fused"] = lambda v: ntt_mxu.ntt_pow_phi_fused(
                 v, ctx, interpret=False)
 
-    # bit-exactness gate first
+    # bit-exactness gate first — a broken backend must not get a recorded
+    # perf number (and the docstring promises "verified bit-identical")
     base = np.asarray(backends["jnp-stages"](xd[:1]))
+    bad = []
     for name, fn in backends.items():
         got = np.asarray(fn(xd[:1]))
         status = "OK" if np.array_equal(base, got) else "MISMATCH"
         print(f"{name:18s} exactness: {status}")
+        if status != "OK":
+            bad.append(name)
+    if bad:
+        sys.exit(f"BIT-EXACTNESS FAILURE: {bad} — not timing broken "
+                 f"backends")
 
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
     from check_onchip import _paired_chain_times

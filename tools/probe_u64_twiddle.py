@@ -120,21 +120,24 @@ def main():
             v = [t for t in per_round[name] if np.isfinite(t)]
             return float(np.median(v)) * 1e6 if v else None
 
+        def r(v, nd=1):     # None-safe round: all-jitter rounds stay null
+            return None if v is None else round(v, nd)
+
         out[f"2^{lg}"] = {
             "bit_identical": bool(eq),
-            "old_us": round(med("old"), 1),
-            "new_us": round(med("new"), 1),
-            "fused_us": round(med("fused"), 1),
-            "bridge_us": round(med("bridge"), 1),
-            "new_over_old_paired": round(ratio, 4),
-            "fused_over_old_paired": round(fratio, 4),
-            "bridge_frac_of_old_paired": round(bfrac, 4),
+            "old_us": r(med("old")),
+            "new_us": r(med("new")),
+            "fused_us": r(med("fused")),
+            "bridge_us": r(med("bridge")),
+            "new_over_old_paired": r(ratio, 4),
+            "fused_over_old_paired": r(fratio, 4),
+            "bridge_frac_of_old_paired": r(bfrac, 4),
             "rounds_us": {k: [round(t * 1e6, 1) if np.isfinite(t) else None
                               for t in v] for k, v in per_round.items()},
         }
-        print(f"2^{lg}: old {med('old'):.0f} us, new {med('new'):.0f} us "
-              f"(paired {ratio:.3f}x), fused {fratio:.3f}x, bridge "
-              f"{med('bridge'):.0f} us ({bfrac:.3f} of old)", flush=True)
+        print(f"2^{lg}: old {r(med('old'))} us, new {r(med('new'))} us "
+              f"(paired {r(ratio, 3)}x), fused {r(fratio, 3)}x, bridge "
+              f"{r(med('bridge'))} us ({r(bfrac, 3)} of old)", flush=True)
     root = pathlib.Path(__file__).resolve().parent.parent
     (root / "TWIDDLE_AB.json").write_text(json.dumps(out, indent=1) + "\n")
     return 0
